@@ -1,0 +1,407 @@
+"""Set-prediction criterion: device-side matcher + CoDA losses.
+
+Re-design of /root/reference/criterion.py for TPU:
+  * the Hungarian matcher runs ON DEVICE (ops/hungarian.py) instead of a
+    per-sample scipy call on the host (criterion.py:59-80);
+  * rotated gIoU for the matcher cost is the vectorized device kernel
+    (ops/giou.py) instead of the Cython CPU roundtrip (criterion.py:1107);
+  * the final + aux decoder layers are processed in ONE vmapped pass over the
+    stacked layer axis instead of a python loop (criterion.py:1205-1215);
+  * distributed semantics: the reference normalizes matched-sum losses by
+    num_boxes = allreduce_mean(per-replica GT count) then DDP-averages the
+    loss; under a batch-sharded global jit this is algebraically identical to
+    dividing the global matched sum by the global GT count, which is what we
+    compute -- no collectives needed in user code.
+
+Loss registry mirrors SetCriterion (criterion.py:135-168): every loss is
+gated by `<name>_weight > 1e-32`; cardinality is log-only.  The losses active
+in the shipped configs are implemented exactly; see each method's docstring
+for the reference anchor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coda_neurips2023_tpu.ops.giou import generalized_box3d_iou
+from coda_neurips2023_tpu.ops.hungarian import matcher_assignments
+
+# losses never applied to aux (intermediate) decoder layers
+# (reference single_output_forward, criterion.py:1124-1135)
+_LAST_LAYER_ONLY = (
+    "loss_contrastive",
+    "loss_image_seen_class",
+    "loss_batchwise_contrastive",
+    "loss_3d_2d_region_embed",
+    "loss_predicted_region_embed_l1_only_last_layer",
+)
+
+
+def huber_loss(error, delta: float = 1.0):
+    """Reference utils/misc.py:25-36."""
+    abs_error = jnp.abs(error)
+    quadratic = jnp.minimum(abs_error, delta)
+    linear = abs_error - quadratic
+    return 0.5 * quadratic ** 2 + delta * linear
+
+
+def _cross_entropy(logits, labels, class_weights=None):
+    """torch F.cross_entropy(reduction='none') semantics: w[y] * nll."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        nll = nll * class_weights[labels]
+    return nll
+
+
+def _gather_per_prop(x, per_prop_gt_inds):
+    """gather GT-side (B, ngt, ...) tensors to proposal side (B, nprop, ...)."""
+    idx = per_prop_gt_inds
+    while idx.ndim < x.ndim:
+        idx = idx[..., None]
+    return jnp.take_along_axis(x, jnp.broadcast_to(idx, idx.shape[:2] + x.shape[2:]), axis=1)
+
+
+class Matcher:
+    """Cost construction per reference criterion.py:26-58."""
+
+    def __init__(self, cost_class, cost_objectness, cost_giou, cost_center):
+        self.cost_class = cost_class
+        self.cost_objectness = cost_objectness
+        self.cost_giou = cost_giou
+        self.cost_center = cost_center
+
+    def __call__(self, outputs, targets):
+        sem_cls_prob = outputs["sem_cls_prob"]  # (B, nq, n_fg)
+        ngt = targets["gt_box_sem_cls_label"].shape[1]
+        gt_labels = targets["gt_box_sem_cls_label"].astype(jnp.int32)  # (B, ngt)
+        class_mat = -jnp.take_along_axis(
+            sem_cls_prob, gt_labels[:, None, :], axis=2
+        )  # (B, nq, ngt)
+        objectness_mat = -outputs["objectness_prob"][..., None]
+        center_mat = jax.lax.stop_gradient(outputs["center_dist"])
+        giou_mat = -jax.lax.stop_gradient(outputs["gious"])
+        cost = (
+            self.cost_class * class_mat
+            + self.cost_objectness * objectness_mat
+            + self.cost_center * center_mat
+            + self.cost_giou * giou_mat
+        )
+        return matcher_assignments(cost, targets["nactual_gt"])
+
+
+class SetCriterion:
+    def __init__(
+        self,
+        matcher: Matcher,
+        dataset_config,
+        loss_weight_dict: dict,
+        train_range_max: int = 10,
+        confidence_type: str = "non-confidence",
+    ):
+        self.matcher = matcher
+        self.dataset_config = dataset_config
+        self.loss_weight_dict = dict(loss_weight_dict)
+        self.confidence_type = confidence_type
+        # per-class CE weights: bg (last) gets loss_no_object_weight
+        n = dataset_config.num_semcls + 1
+        w = np.ones(n, np.float32)
+        w[-1] = self.loss_weight_dict.pop("loss_no_object_weight", 0.2)
+        self.semcls_percls_weights = jnp.asarray(w)
+        w2 = np.ones(train_range_max + 1, np.float32)
+        w2[-1] = self.loss_weight_dict.pop("loss_no_object_contrast_weight", 0.2)
+        self.seen_semcls_percls_weights = jnp.asarray(w2)
+
+        self.loss_functions = {
+            "loss_sem_cls_softmax": self.loss_sem_cls_softmax,
+            "loss_sem_cls_softmax_skip_none_gt_sample": self.loss_sem_cls_softmax_skip_none_gt_sample,
+            "loss_angle": self.loss_angle,
+            "loss_center": self.loss_center,
+            "loss_size": self.loss_size,
+            "loss_giou": self.loss_giou,
+            "loss_predicted_region_embed_l1": self.loss_predicted_region_embed_l1,
+            "loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi,
+            "loss_contrast_object_text": self.loss_contrast_object_text,
+        }
+
+    # ---------------- individual losses ----------------
+
+    def loss_cardinality(self, outputs, targets, assignments):
+        """Log-only (criterion.py:170-180)."""
+        pred_logits = outputs["sem_cls_logits"]
+        pred_objects = jnp.sum(
+            jnp.argmax(pred_logits, -1) != pred_logits.shape[-1] - 1, axis=1
+        )
+        return jnp.mean(
+            jnp.abs(pred_objects.astype(jnp.float32) - targets["nactual_gt"].astype(jnp.float32))
+        )
+
+    def loss_sem_cls_softmax(self, outputs, targets, assignments):
+        """criterion.py:182-219 (vectorized form, torch CE 'mean' with class
+        weights = weighted sum / sum of selected weights)."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(
+            assignments["proposal_matched_mask"] > 0, gt_label, bg
+        )
+        nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)
+        wsum = jnp.sum(self.semcls_percls_weights[gt_label])
+        loss = jnp.sum(nll) / jnp.maximum(wsum, 1e-32)
+        return loss
+
+    def loss_sem_cls_softmax_skip_none_gt_sample(self, outputs, targets, assignments):
+        """criterion.py:221-248: per-sample skip of no-GT scenes; normalize by
+        (#scenes-with-objects * nprop)."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)  # (B, nq)
+        has_obj = (targets["nactual_gt"] > 0).astype(nll.dtype)  # (B,)
+        per_sample = jnp.sum(nll, axis=1) * has_obj
+        cnt = jnp.sum(has_obj)
+        return jnp.sum(per_sample) / (cnt * nll.shape[1] + 1e-32)
+
+    def loss_angle(self, outputs, targets, assignments):
+        """criterion.py:834-900: CE over angle bins + huber(residual), matched
+        only, normalized by global num_boxes."""
+        angle_logits = outputs["angle_logits"]
+        angle_residual = outputs["angle_residual_normalized"]
+        num_bin = self.dataset_config.num_angle_bin
+        gt_angle_label = _gather_per_prop(
+            targets["gt_angle_class_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_residual_norm = _gather_per_prop(
+            targets["gt_angle_residual_label"] / (np.pi / num_bin),
+            assignments["per_prop_gt_inds"],
+        )
+        mask = assignments["proposal_matched_mask"]
+        cls_loss = jnp.sum(_cross_entropy(angle_logits, gt_angle_label) * mask)
+        res_for_gt = jnp.take_along_axis(angle_residual, gt_angle_label[..., None], -1)[..., 0]
+        reg_loss = jnp.sum(huber_loss(res_for_gt - gt_residual_norm, 1.0) * mask)
+        nb = targets["num_boxes"]
+        return {"loss_angle_cls": cls_loss / nb, "loss_angle_reg": reg_loss / nb}
+
+    def loss_center(self, outputs, targets, assignments):
+        """criterion.py:1015-1040."""
+        center_dist = outputs["center_dist"]
+        sel = jnp.take_along_axis(
+            center_dist, assignments["per_prop_gt_inds"][..., None], axis=2
+        )[..., 0]
+        return jnp.sum(sel * assignments["proposal_matched_mask"]) / targets["num_boxes"]
+
+    def loss_size(self, outputs, targets, assignments):
+        """criterion.py:1065-1100."""
+        gt_sizes = _gather_per_prop(
+            targets["gt_box_sizes_normalized"], assignments["per_prop_gt_inds"]
+        )
+        l1 = jnp.sum(jnp.abs(outputs["size_normalized"] - gt_sizes), axis=-1)
+        return jnp.sum(l1 * assignments["proposal_matched_mask"]) / targets["num_boxes"]
+
+    def loss_giou(self, outputs, targets, assignments):
+        """criterion.py:1042-1063."""
+        giou_dist = 1.0 - outputs["gious"]
+        sel = jnp.take_along_axis(
+            giou_dist, assignments["per_prop_gt_inds"][..., None], axis=2
+        )[..., 0]
+        return jnp.sum(sel * assignments["proposal_matched_mask"]) / targets["num_boxes"]
+
+    def loss_predicted_region_embed_l1(self, outputs, targets, assignments):
+        """Stage-1 distillation loss (criterion.py:924-947): masked L1 between
+        the predicted 512-d embedding and the CLIP crop embedding of the
+        predicted box, normalized by (#valid crops * 512)."""
+        gt_emb = targets["gt_text_correlation_embedding"]  # (B, nq, 512)
+        mask = targets["gt_text_correlation_embedding_mask"]  # (B, nq, 1)
+        pred = outputs["text_correlation_embedding"]
+        ave_weight = jnp.sum(mask) * pred.shape[-1]
+        l1 = jnp.sum(jnp.abs(pred * mask - gt_emb * mask))
+        return l1 / jnp.maximum(ave_weight, 1e-32)
+
+    def loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi(
+        self, outputs, targets, assignments
+    ):
+        """Stage-2 discovery-driven classification (criterion.py:599-646):
+        CE of query-embedding/text-bank logits against seen labels (matched
+        proposals) or CLIP weak labels (unmatched), confidence-weighted."""
+        emb = outputs["text_correlation_embedding"]
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+        text = targets["text_features_clip"].astype(jnp.float32)  # (ncls, 512)
+        logits = jnp.einsum("bqc,kc->bqk", emb, text) * targets["logit_scale"]
+
+        seen_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        seen_confi = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_confi"], assignments["per_prop_gt_inds"]
+        )
+        matched = assignments["proposal_matched_mask"] > 0
+        gt_label = jnp.where(matched, seen_label, targets["weak_box_cate_label"].astype(jnp.int32))
+        confi = jnp.where(matched, seen_confi, targets["weak_confidence_weight"])
+        if self.confidence_type == "non-confidence":
+            confi = jnp.where(confi > 1e-16, 1.0, confi)
+        nll = _cross_entropy(logits, gt_label)
+        denom = jnp.sum(confi > 1e-32) + 1e-32
+        return jnp.sum(nll * confi) / denom
+
+    def loss_contrast_object_text(self, outputs, targets, assignments):
+        """Object<->text contrastive CE over seen classes (criterion.py:431-???):
+        matched proposals classified against the seen text bank with the
+        bg-weighted seen class weights."""
+        emb = outputs["text_correlation_embedding"]
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+        text = targets["text_features_clip"].astype(jnp.float32)
+        logits = jnp.einsum("bqc,kc->bqk", emb, text) * targets["logit_scale"]
+        bg = logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        w = self.seen_semcls_percls_weights
+        nll = _cross_entropy(logits, jnp.clip(gt_label, 0, bg), w)
+        wsum = jnp.sum(w[jnp.clip(gt_label, 0, bg)])
+        return jnp.sum(nll) / jnp.maximum(wsum, 1e-32)
+
+    # ---------------- assembly ----------------
+
+    def _active_losses(self, last_layer: bool):
+        names = []
+        for name in self.loss_functions:
+            wkey = name + "_weight"
+            if name == "loss_angle":
+                active = (
+                    self.loss_weight_dict.get("loss_angle_cls_weight", 0) > 1e-32
+                    or self.loss_weight_dict.get("loss_angle_reg_weight", 0) > 1e-32
+                )
+            else:
+                active = self.loss_weight_dict.get(wkey, 0) > 1e-32
+            if not active:
+                continue
+            if not last_layer and name in _LAST_LAYER_ONLY:
+                continue
+            names.append(name)
+        return names
+
+    def single_layer_losses(self, outputs, targets, last_layer: bool):
+        """Losses for one decoder layer's outputs (reference
+        single_output_forward, criterion.py:1102-1160)."""
+        gious = generalized_box3d_iou(
+            outputs["box_corners"],
+            targets["gt_box_corners"],
+            targets["nactual_gt"],
+            rotated_boxes=bool(self.dataset_config.num_angle_bin > 1),
+        )
+        outputs = dict(outputs)
+        outputs["gious"] = gious
+        center_dist = jnp.sum(
+            jnp.abs(
+                outputs["center_normalized"][:, :, None, :]
+                - targets["gt_box_centers_normalized"][:, None, :, :]
+            ),
+            axis=-1,
+        )
+        outputs["center_dist"] = center_dist
+        assignments = self.matcher(outputs, targets)
+
+        losses = {}
+        for name in self._active_losses(last_layer):
+            val = self.loss_functions[name](outputs, targets, assignments)
+            if isinstance(val, dict):
+                losses.update(val)
+            else:
+                losses[name] = val
+        losses["loss_cardinality"] = self.loss_cardinality(outputs, targets, assignments)
+
+        total = jnp.float32(0.0)
+        for k, v in losses.items():
+            wkey = k + "_weight"
+            if wkey in self.loss_weight_dict and self.loss_weight_dict[wkey] > 1e-32:
+                losses[k] = v * self.loss_weight_dict[wkey]
+                total = total + losses[k]
+        return total, losses, assignments
+
+    def __call__(self, outputs_stacked: dict, targets: dict):
+        """outputs_stacked: model dict with leading decoder-layer axis L.
+        Returns (total_loss, loss_dict) like reference SetCriterion.forward
+        (criterion.py:1162-1216); aux layer losses get `_k` suffixes.
+        """
+        targets = dict(targets)
+        nactual_gt = jnp.sum(targets["gt_box_present"], axis=1).astype(jnp.int32)
+        targets["nactual_gt"] = nactual_gt
+        # global GT count (see module docstring for why this equals the
+        # reference's allreduce-mean + DDP-average)
+        targets["num_boxes"] = jnp.maximum(jnp.sum(nactual_gt).astype(jnp.float32), 1.0)
+
+        num_layers = outputs_stacked["sem_cls_logits"].shape[0]
+        layer_keys = [
+            k
+            for k, v in outputs_stacked.items()
+            if hasattr(v, "ndim") and v.ndim > 0 and v.shape[0] == num_layers
+            and k not in ("query_xyz", "enc_xyz", "enc_inds")
+        ]
+
+        def layer_outputs(l):
+            return {k: outputs_stacked[k][l] for k in layer_keys}
+
+        # aux layers in one vmapped pass
+        if num_layers > 1:
+            aux_stack = {k: outputs_stacked[k][:-1] for k in layer_keys}
+            aux_fn = functools.partial(self._aux_layer, targets=targets)
+            aux_totals, aux_losses = jax.vmap(aux_fn)(aux_stack)
+        else:
+            aux_totals, aux_losses = jnp.zeros((0,)), {}
+
+        total, losses, _ = self.single_layer_losses(
+            layer_outputs(num_layers - 1), targets, last_layer=True
+        )
+        total = total + jnp.sum(aux_totals)
+        for k, v in aux_losses.items():
+            for l in range(num_layers - 1):
+                losses[f"{k}_{l}"] = v[l]
+        return total, losses
+
+    def _aux_layer(self, outputs, targets):
+        total, losses, _ = self.single_layer_losses(outputs, targets, last_layer=False)
+        return total, losses
+
+
+def build_criterion(args, dataset_config):
+    """Reference criterion.py:1219-1310 (weights pulled from the same flags)."""
+    matcher = Matcher(
+        cost_class=args.matcher_cls_cost,
+        cost_giou=args.matcher_giou_cost,
+        cost_center=args.matcher_center_cost,
+        cost_objectness=args.matcher_objectness_cost,
+    )
+    loss_weight_dict = {
+        "loss_giou_weight": args.loss_giou_weight,
+        "loss_sem_cls_softmax_weight": args.loss_sem_cls_softmax_weight,
+        "loss_sem_cls_softmax_skip_none_gt_sample_weight": args.loss_sem_cls_softmax_skip_none_gt_sample_weight,
+        "loss_no_object_weight": args.loss_no_object_weight,
+        "loss_no_object_contrast_weight": args.loss_no_object_contrast_weight,
+        "loss_angle_cls_weight": args.loss_angle_cls_weight,
+        "loss_angle_reg_weight": args.loss_angle_reg_weight,
+        "loss_center_weight": args.loss_center_weight,
+        "loss_size_weight": args.loss_size_weight,
+        "loss_predicted_region_embed_l1_weight": args.loss_predicted_region_embed_l1_weight,
+        "loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight": args.loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight,
+        "loss_contrast_object_text_weight": args.loss_contrast_object_text,
+    }
+    return SetCriterion(
+        matcher,
+        dataset_config,
+        loss_weight_dict,
+        train_range_max=args.train_range_max,
+        confidence_type=args.confidence_type,
+    )

@@ -1,0 +1,145 @@
+"""Synthetic detection scenes (testing/benchmarking without the licensed data).
+
+Generates random rooms with oriented boxes and produces exactly the padded
+~30-key sample dict contract of the reference SUN RGB-D pipeline
+(/root/reference/datasets/sunrgbd_anonymous_aligned_image_with_novel_cate_confi.py:828-980):
+static shapes (num_points points, max_num_obj boxes), normalized centers and
+sizes, angle class/residual labels, camera-frame and xyz corners, presence
+mask.  Used by the unit tests, `bench.py` and `__graft_entry__.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from coda_neurips2023_tpu.ops import box_ops
+
+
+def _np_corners_camera(centers, sizes, angles):
+    import jax.numpy as jnp
+
+    cam = box_ops.flip_axis_to_camera(jnp.asarray(centers))
+    return np.asarray(box_ops.get_3d_box_batch(jnp.asarray(sizes), jnp.asarray(angles), cam))
+
+
+def _np_corners_xyz(centers, sizes, angles):
+    import jax.numpy as jnp
+
+    return np.asarray(
+        box_ops.get_3d_box_batch_xyz(jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers))
+    )
+
+
+class SyntheticDetectionDataset:
+    def __init__(
+        self,
+        dataset_config,
+        num_scenes: int = 64,
+        num_points: int = 20000,
+        max_boxes_per_scene: int = 12,
+        seed: int = 0,
+        use_angles: bool = True,
+    ):
+        self.dataset_config = dataset_config
+        self.num_scenes = num_scenes
+        self.num_points = num_points
+        self.max_boxes = max_boxes_per_scene
+        self.seed = seed
+        self.use_angles = use_angles and dataset_config.num_angle_bin > 1
+
+    def __len__(self):
+        return self.num_scenes
+
+    def __getitem__(self, idx: int) -> dict:
+        cfg = self.dataset_config
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        max_obj = cfg.max_num_obj
+
+        nbox = int(rng.integers(1, self.max_boxes + 1))
+        centers = np.zeros((max_obj, 3), np.float32)
+        sizes = np.zeros((max_obj, 3), np.float32)
+        angles = np.zeros((max_obj,), np.float32)
+        present = np.zeros((max_obj,), np.float32)
+        centers[:nbox] = rng.uniform(-3, 3, (nbox, 3)).astype(np.float32)
+        centers[:nbox, 2] = rng.uniform(0.2, 2.0, nbox)  # z-up rooms
+        sizes[:nbox] = rng.uniform(0.3, 1.8, (nbox, 3)).astype(np.float32)
+        if self.use_angles:
+            angles[:nbox] = rng.uniform(-np.pi, np.pi, nbox).astype(np.float32)
+        present[:nbox] = 1.0
+
+        # points: mixture of in-box samples and room clutter
+        pts = []
+        n_clutter = self.num_points // 2
+        pts.append(
+            np.stack(
+                [
+                    rng.uniform(-4, 4, n_clutter),
+                    rng.uniform(-4, 4, n_clutter),
+                    rng.uniform(0, 3, n_clutter),
+                ],
+                axis=1,
+            ).astype(np.float32)
+        )
+        remaining = self.num_points - n_clutter
+        per_box = max(remaining // max(nbox, 1), 1)
+        for j in range(nbox):
+            local = rng.uniform(-0.5, 0.5, (per_box, 3)).astype(np.float32) * sizes[j]
+            c, s = np.cos(angles[j]), np.sin(angles[j])
+            rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+            pts.append(local @ rot + centers[j])
+        pc = np.concatenate(pts, axis=0)[: self.num_points]
+        if pc.shape[0] < self.num_points:
+            pad = rng.uniform(-4, 4, (self.num_points - pc.shape[0], 3)).astype(np.float32)
+            pc = np.concatenate([pc, pad], axis=0)
+        rng.shuffle(pc, axis=0)
+
+        pc_min = pc.min(axis=0)
+        pc_max = pc.max(axis=0)
+        scene_scale = np.clip(pc_max - pc_min, 1e-1, None)
+
+        centers_normalized = (centers - pc_min) / scene_scale
+        sizes_normalized = sizes / scene_scale
+        angle_cls = np.zeros((max_obj,), np.int64)
+        angle_res = np.zeros((max_obj,), np.float32)
+        if self.use_angles:
+            import jax.numpy as jnp
+
+            ac, ar = cfg.angle2class(jnp.asarray(angles))
+            angle_cls = np.asarray(ac, np.int64)
+            angle_res = np.asarray(ar, np.float32)
+
+        corners_cam = _np_corners_camera(centers[None], sizes[None], angles[None])[0]
+        corners_xyz = _np_corners_xyz(centers[None], sizes[None], angles[None])[0]
+        corners_cam *= present[:, None, None]
+        corners_xyz *= present[:, None, None]
+
+        return {
+            "point_clouds": pc.astype(np.float32),
+            "point_cloud_dims_min": pc_min.astype(np.float32),
+            "point_cloud_dims_max": pc_max.astype(np.float32),
+            "gt_box_corners": corners_cam.astype(np.float32),
+            "gt_box_corners_xyz": corners_xyz.astype(np.float32),
+            "gt_box_centers": centers * present[:, None],
+            "gt_box_centers_normalized": centers_normalized * present[:, None],
+            "gt_box_sizes": sizes * present[:, None],
+            "gt_box_sizes_normalized": sizes_normalized * present[:, None],
+            "gt_box_angles": angles * present,
+            "gt_angle_class_label": (angle_cls * present).astype(np.int64),
+            "gt_angle_residual_label": angle_res * present,
+            "gt_box_sem_cls_label": np.zeros((max_obj,), np.int64),
+            "gt_box_present": present,
+            "gt_box_seen_sem_cls_label": np.zeros((max_obj,), np.int64),
+            "gt_box_seen_sem_cls_confi": present.astype(np.float32),
+            "scan_idx": np.int64(idx),
+        }
+
+
+def collate(samples: list) -> dict:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def make_batches(dataset, batch_size: int, drop_last: bool = True):
+    n = len(dataset)
+    end = n - (n % batch_size) if drop_last else n
+    for start in range(0, end, batch_size):
+        yield collate([dataset[i] for i in range(start, min(start + batch_size, n))])

@@ -1,0 +1,307 @@
+"""3DETR trunk + CoDA heads (flax).
+
+Re-design of the two wired reference models
+(/root/reference/models/model_3detr.py):
+  * Model3DETRPredictedBoxDistillationHead (model_3detr.py:130-1833) -- the
+    CoDA model: class-agnostic 3DETR + frozen CLIP distillation/open-vocab
+    heads ("3detr_predictedbox_distillation", models/__init__.py:5);
+  * Model3DETRMultiClassHead (model_3detr.py:1838-3932) -- the closed-vocab
+    baseline ("3detrmulticlasshead").
+
+TPU-first differences from the reference:
+  * one flax module, channels-last, fully jitted; no (seq, batch, ch) permutes;
+  * all 8 decoder layers' head outputs are computed as ONE batched pass with a
+    leading layer axis (the reference reshapes to (L*B, C, nq) and loops the
+    box decode per layer, model_3detr.py:1634-1740) -- BatchNorm statistics
+    pool over (layers, batch, queries) exactly like the reference's bn1d on
+    the folded (L*B, C, nq) tensor;
+  * CLIP towers and text banks live outside this module (see
+    coda_neurips2023_tpu/models/clip.py); the forward takes precomputed text
+    features, so eval with the distillation head needs no CLIP at all
+    (reference get_class_scores, model_3detr.py:1742-1764).
+
+Forward returns a dict of stacked per-layer tensors (leading dim = decoder
+layers); the criterion consumes all layers in one vmapped pass instead of the
+reference's python loop over aux_outputs (criterion.py:1205-1215).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coda_neurips2023_tpu.models.box_processor import BoxProcessor
+from coda_neurips2023_tpu.models.helpers import GenericMLP
+from coda_neurips2023_tpu.models.pointnet import PointnetSAModuleVotes
+from coda_neurips2023_tpu.models.position_embedding import PositionEmbeddingCoordsSine
+from coda_neurips2023_tpu.models.transformer import (
+    MaskedTransformerEncoder,
+    TransformerDecoder,
+    TransformerEncoder,
+)
+from coda_neurips2023_tpu.ops.sampling import furthest_point_sample, gather_points
+
+
+class CoDA3DETR(nn.Module):
+    """Class-agnostic 3DETR trunk with CoDA's six MLP heads."""
+
+    dataset_config: object
+    num_cls_predict: int = 1  # sem head outputs num_cls_predict + 1 (bg last)
+    enc_dim: int = 256
+    dec_dim: int = 512
+    enc_type: str = "vanilla"  # "vanilla" | "masked"
+    enc_nlayers: int = 3
+    enc_nhead: int = 4
+    enc_ffn_dim: int = 128
+    enc_dropout: float = 0.1
+    enc_activation: str = "relu"
+    dec_nlayers: int = 8
+    dec_nhead: int = 4
+    dec_ffn_dim: int = 256
+    dec_dropout: float = 0.1
+    preenc_npoints: int = 2048
+    nqueries: int = 128
+    mlp_dropout: float = 0.3
+    position_embedding: str = "fourier"
+    with_text_head: bool = True
+    use_color: bool = False
+
+    def setup(self):
+        # pre-encoder: SA(radius .2, nsample 64) (reference build_preencoder,
+        # model_3detr.py:3935-3944)
+        self.pre_encoder = PointnetSAModuleVotes(
+            npoint=self.preenc_npoints,
+            radius=0.2,
+            nsample=64,
+            mlp_dims=(3 * int(self.use_color), 64, 128, self.enc_dim),
+            normalize_xyz=True,
+        )
+        if self.enc_type == "vanilla":
+            self.encoder = TransformerEncoder(
+                num_layers=self.enc_nlayers,
+                d_model=self.enc_dim,
+                nhead=self.enc_nhead,
+                dim_feedforward=self.enc_ffn_dim,
+                dropout=self.enc_dropout,
+                activation=self.enc_activation,
+            )
+        elif self.enc_type == "masked":
+            self.encoder = MaskedTransformerEncoder(
+                num_layers=3,
+                d_model=self.enc_dim,
+                masking_radius=tuple(x ** 2 for x in (0.4, 0.8, 1.2)),
+                interim_npoint=self.preenc_npoints // 2,
+                nhead=self.enc_nhead,
+                dim_feedforward=self.enc_ffn_dim,
+                dropout=self.enc_dropout,
+                activation=self.enc_activation,
+            )
+        else:
+            raise ValueError(self.enc_type)
+
+        self.encoder_to_decoder_projection = GenericMLP(
+            hidden_dims=(512, 512),
+            output_dim=self.dec_dim,
+            norm="bn1d",
+            activation="relu",
+            output_use_activation=True,
+            output_use_norm=True,
+            output_use_bias=False,
+        )
+        self.pos_embedding = PositionEmbeddingCoordsSine(
+            d_pos=self.dec_dim, pos_type=self.position_embedding, normalize=True
+        )
+        self.query_projection = GenericMLP(
+            hidden_dims=(self.dec_dim,),
+            output_dim=self.dec_dim,
+            hidden_use_bias=True,
+            output_use_activation=True,
+        )
+        self.decoder = TransformerDecoder(
+            num_layers=self.dec_nlayers,
+            d_model=self.dec_dim,
+            nhead=self.dec_nhead,
+            dim_feedforward=self.dec_ffn_dim,
+            dropout=self.dec_dropout,
+        )
+
+        def head(output_dim):
+            return GenericMLP(
+                hidden_dims=(self.dec_dim, self.dec_dim),
+                output_dim=output_dim,
+                norm="bn1d",
+                activation="relu",
+                dropout=self.mlp_dropout,
+            )
+
+        self.sem_cls_head = head(self.num_cls_predict + 1)
+        self.center_head = head(3)
+        self.size_head = head(3)
+        self.angle_cls_head = head(self.dataset_config.num_angle_bin)
+        self.angle_residual_head = head(self.dataset_config.num_angle_bin)
+        if self.with_text_head:
+            self.text_correlation_head = head(512)  # CLIP embedding width
+
+        self.box_processor = BoxProcessor(self.dataset_config)
+
+    def run_encoder(self, point_clouds, train: bool = False):
+        xyz = point_clouds[..., 0:3]
+        features = point_clouds[..., 3:] if point_clouds.shape[-1] > 3 else None
+        pre_xyz, pre_feat, pre_inds = self.pre_encoder(xyz, features, train=train)
+        enc_xyz, enc_feat, enc_inds = self.encoder(pre_feat, xyz=pre_xyz, train=train)
+        if enc_inds is None:
+            enc_inds = pre_inds
+        else:
+            enc_inds = jnp.take_along_axis(pre_inds, enc_inds, axis=1)
+        return enc_xyz, enc_feat, enc_inds
+
+    def get_query_embeddings(self, enc_xyz, point_cloud_dims):
+        query_inds = furthest_point_sample(enc_xyz, self.nqueries)
+        query_xyz = gather_points(enc_xyz, query_inds)
+        pos_embed = self.pos_embedding(query_xyz, input_range=point_cloud_dims)
+        query_embed = self.query_projection(pos_embed)
+        return query_xyz, query_embed
+
+    def get_box_predictions(self, query_xyz, point_cloud_dims, box_features, train):
+        """box_features: (L, B, nq, dec_dim) -> dict of stacked per-layer outputs."""
+        bp = self.box_processor
+        cls_logits = self.sem_cls_head(box_features, train=train)
+        center_offset = nn.sigmoid(self.center_head(box_features, train=train)) - 0.5
+        size_normalized = nn.sigmoid(self.size_head(box_features, train=train))
+        angle_logits = self.angle_cls_head(box_features, train=train)
+        angle_residual_normalized = self.angle_residual_head(box_features, train=train)
+        angle_residual = angle_residual_normalized * (
+            np.pi / angle_residual_normalized.shape[-1]
+        )
+
+        def decode_layer(cls_l, off_l, size_l, ang_logit_l, ang_res_l):
+            center_norm, center_unnorm = bp.compute_predicted_center(
+                off_l, query_xyz, point_cloud_dims
+            )
+            angle = bp.compute_predicted_angle(ang_logit_l, ang_res_l)
+            size_unnorm = bp.compute_predicted_size(size_l, point_cloud_dims)
+            corners = bp.box_parametrization_to_corners(center_unnorm, size_unnorm, angle)
+            corners_xyz = bp.box_parametrization_to_corners_xyz(
+                center_unnorm, size_unnorm, angle
+            )
+            semcls_prob, objectness_prob = jax.tree.map(
+                jax.lax.stop_gradient, bp.compute_objectness_and_cls_prob(cls_l)
+            )
+            return {
+                "center_normalized": center_norm,
+                "center_unnormalized": center_unnorm,
+                "angle_continuous": angle,
+                "size_unnormalized": size_unnorm,
+                "box_corners": corners,
+                "box_corners_xyz": corners_xyz,
+                "sem_cls_prob": semcls_prob,
+                "objectness_prob": objectness_prob,
+            }
+
+        decoded = jax.vmap(decode_layer)(
+            cls_logits, center_offset, size_normalized, angle_logits, angle_residual
+        )
+        out = {
+            "sem_cls_logits": cls_logits,
+            "center_offset": center_offset,
+            "size_normalized": size_normalized,
+            "angle_logits": angle_logits,
+            "angle_residual": angle_residual,
+            "angle_residual_normalized": angle_residual_normalized,
+            **decoded,
+        }
+        if self.with_text_head:
+            out["text_correlation_embedding"] = self.text_correlation_head(
+                box_features, train=train
+            )
+        return out
+
+    def __call__(self, inputs: dict, train: bool = False, encoder_only: bool = False):
+        point_clouds = inputs["point_clouds"]
+        enc_xyz, enc_features, enc_inds = self.run_encoder(point_clouds, train=train)
+        enc_features = self.encoder_to_decoder_projection(enc_features, train=train)
+        if encoder_only:
+            return enc_xyz, enc_features
+
+        point_cloud_dims = (
+            inputs["point_cloud_dims_min"],
+            inputs["point_cloud_dims_max"],
+        )
+        query_xyz, query_embed = self.get_query_embeddings(enc_xyz, point_cloud_dims)
+        enc_pos = self.pos_embedding(enc_xyz, input_range=point_cloud_dims)
+
+        tgt = jnp.zeros_like(query_embed)
+        box_features = self.decoder(
+            tgt, enc_features, query_pos=query_embed, pos=enc_pos, train=train
+        )  # (L, B, nq, dec_dim)
+
+        preds = self.get_box_predictions(
+            query_xyz, point_cloud_dims, box_features, train
+        )
+        preds["query_xyz"] = query_xyz
+        preds["enc_xyz"] = enc_xyz
+        preds["enc_inds"] = enc_inds
+        return preds
+
+
+def get_class_scores(text_correlation_embedding, text_features, logit_scale):
+    """Open-vocab class scores from the distillation head
+    (reference get_class_scores, model_3detr.py:1742-1764).
+
+    text_correlation_embedding: (..., nq, 512); text_features: (ncls, 512)
+    row-normalized; logit_scale: scalar (already exp'ed and clipped).
+    Returns softmax scores (..., nq, ncls).
+    """
+    emb = text_correlation_embedding
+    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+    logits = jnp.einsum("...qc,kc->...qk", emb, text_features) * logit_scale
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _model_kwargs_from_args(args, dataset_config, num_cls_predict, with_text_head):
+    return dict(
+        dataset_config=dataset_config,
+        num_cls_predict=num_cls_predict,
+        enc_dim=args.enc_dim,
+        dec_dim=args.dec_dim,
+        enc_type=args.enc_type,
+        enc_nlayers=args.enc_nlayers,
+        enc_nhead=args.enc_nhead,
+        enc_ffn_dim=args.enc_ffn_dim,
+        enc_dropout=args.enc_dropout,
+        enc_activation=args.enc_activation,
+        dec_nlayers=args.dec_nlayers,
+        dec_nhead=args.dec_nhead,
+        dec_ffn_dim=args.dec_ffn_dim,
+        dec_dropout=args.dec_dropout,
+        preenc_npoints=args.preenc_npoints,
+        nqueries=args.nqueries,
+        mlp_dropout=args.mlp_dropout,
+        position_embedding=args.pos_embed,
+        with_text_head=with_text_head,
+        use_color=args.use_color,
+    )
+
+
+def build_3detr_predictedbox_distillation_head(args, dataset_config):
+    """The CoDA model (reference model_3detr.py:4018-4050). Sem head is
+    (1 object + 1 bg)-way; open-vocab classification happens through the
+    512-d text_correlation_head against CLIP text banks."""
+    model = CoDA3DETR(
+        **_model_kwargs_from_args(args, dataset_config, num_cls_predict=1, with_text_head=True)
+    )
+    return model, BoxProcessor(dataset_config)
+
+
+def build_3detr_multiclasshead(args, dataset_config):
+    """Closed-vocab baseline (reference model_3detr.py:4052-4074)."""
+    model = CoDA3DETR(
+        **_model_kwargs_from_args(
+            args, dataset_config, num_cls_predict=1, with_text_head=True
+        )
+    )
+    return model, BoxProcessor(dataset_config)

@@ -1,0 +1,101 @@
+"""Ball query + grouping.
+
+TPU-native equivalents of the reference CUDA kernels
+(/root/reference/third_party_pointnet2/pointnet2/_ext_src/src/ball_query_gpu.cu,
+group_points_gpu.cu):
+
+  * `ball_query` reproduces the reference fill semantics exactly
+    (ball_query_gpu.cu:30-45): for each center, the first `nsample` point
+    indices (in index order) with squared distance < radius^2; if there is at
+    least one hit, unused trailing slots are filled with the FIRST hit index;
+    if there are no hits, the row is all zeros (the reference allocates the
+    index buffer with .zero_(), pointnet2_utils.py:162).
+  * `group_points` is a batched gather (group_points_gpu.cu:9-22); the VJP is
+    XLA's native scatter-add (lines 37-53).
+
+Instead of the CUDA per-center scan over all N points, we compute the dense
+(M, N) squared-distance matrix on the MXU (as -2*a.b + |a|^2 + |b|^2) and
+recover the "first nsample hits in index order" with a single top-k over an
+order-encoding integer key.  Batch rows are processed under `lax.map` to
+bound the transient (M, N) buffer to one scene at a time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a: (M, 3), b: (N, 3) -> (M, N) squared euclidean distances."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    cross = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sq_a = jnp.sum(a * a, axis=-1, keepdims=True)
+    sq_b = jnp.sum(b * b, axis=-1)[None, :]
+    return sq_a + sq_b - 2.0 * cross
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
+    """xyz: (B, N, 3) points, new_xyz: (B, M, 3) centers -> (B, M, nsample) int32."""
+    n = xyz.shape[1]
+    r2 = jnp.float32(radius * radius)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.arange(nsample, dtype=jnp.int32)
+
+    def per_scene(args):
+        xyz_b, new_b = args
+        d2 = _pairwise_sqdist(new_b, xyz_b)  # (M, N)
+        hit = d2 < r2
+        # key: hits keep their index k, misses get N + k; the nsample smallest
+        # keys are exactly the first nsample hits in index order.
+        key = jnp.where(hit, iota_n[None, :], iota_n[None, :] + n)
+        _, topi = jax.lax.top_k(-key, nsample)  # ascending key order
+        cnt = jnp.sum(hit, axis=1)  # (M,)
+        idx = jnp.where(slot[None, :] < cnt[:, None], topi, topi[:, :1])
+        idx = jnp.where((cnt > 0)[:, None], idx, 0)
+        return idx.astype(jnp.int32)
+
+    return jax.lax.map(per_scene, (xyz, new_xyz))
+
+
+def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """features: (B, N, C), idx: (B, M, K) int -> (B, M, K, C)."""
+    b, m, k = idx.shape
+    flat = jnp.take_along_axis(
+        features, idx.reshape(b, m * k, 1).astype(jnp.int32), axis=1
+    )
+    return flat.reshape(b, m, k, features.shape[-1])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def query_and_group(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    features: jax.Array | None = None,
+    normalize_xyz: bool = False,
+):
+    """Functional QueryAndGroup (reference pointnet2_utils.py:291-373).
+
+    Returns:
+      new_features: (B, M, nsample, 3 + C) -- recentered (and optionally
+        radius-normalized) local xyz concatenated with grouped features.
+      grouped_xyz: (B, M, nsample, 3) recentered local coordinates.
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    if features is not None:
+        grouped_features = group_points(features, idx)
+        new_features = jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+    else:
+        new_features = grouped_xyz
+    return new_features, grouped_xyz

@@ -1,0 +1,67 @@
+"""Optimizer + LR schedule.
+
+Reference: AdamW with optional no-decay group for biases/1-D params
+(/root/reference/optimizer.py:5-36) and a per-iteration warmup+cosine LR
+schedule (/root/reference/engine.py:33-55):
+  * warmup: lr = warm_lr + (base_lr - warm_lr) * epoch_frac / warm_lr_epochs
+  * cosine: final_lr + 0.5*(base_lr - final_lr)*(1 + cos(pi * progress))
+Gradient clipping to max L2 norm `clip_gradient` (0.1 in shipped configs,
+engine.py:161-162) is folded into the optax chain.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def make_lr_schedule(args, num_iters_per_epoch: int):
+    """Per-iteration schedule matching engine.py:33-55."""
+    warm_iters = args.warm_lr_epochs * num_iters_per_epoch
+    max_iters = args.max_epoch * num_iters_per_epoch
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        curr_epoch_f = step / num_iters_per_epoch
+        warm = args.warm_lr + curr_epoch_f / max(args.warm_lr_epochs, 1e-9) * (
+            args.base_lr - args.warm_lr
+        )
+        progress = step / max_iters
+        cos = args.final_lr + 0.5 * (args.base_lr - args.final_lr) * (
+            1 + jnp.cos(jnp.pi * progress)
+        )
+        use_warm = jnp.logical_and(
+            args.warm_lr_epochs > 0, curr_epoch_f < args.warm_lr_epochs
+        )
+        lr = jnp.where(use_warm, warm, cos)
+        if args.lr_scheduler != "cosine":
+            lr = jnp.where(use_warm, warm, args.base_lr)
+        return lr
+
+    return schedule
+
+
+def build_optimizer(args, params, num_iters_per_epoch: int):
+    """AdamW(+grad clip) with the reference's bias/1-D no-decay filter
+    (optimizer.py:11-30, enabled by --filter_biases_wd)."""
+    schedule = make_lr_schedule(args, num_iters_per_epoch)
+
+    if getattr(args, "filter_biases_wd", False):
+        def decay_mask(p):
+            return jax.tree.map(lambda x: x.ndim > 1, p)
+
+        adamw = optax.adamw(
+            schedule, weight_decay=args.weight_decay, mask=decay_mask
+        )
+    else:
+        adamw = optax.adamw(schedule, weight_decay=args.weight_decay)
+
+    chain = [adamw]
+    if getattr(args, "clip_gradient", 0) and args.clip_gradient > 0:
+        chain = [optax.clip_by_global_norm(args.clip_gradient)] + chain
+    return optax.chain(*chain), schedule

@@ -1,0 +1,304 @@
+"""Golden-vector parity tests for the point/box op layer (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+import jax
+import jax.numpy as jnp
+
+from coda_neurips2023_tpu.ops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    generalized_box3d_iou,
+    group_points,
+    hungarian_match,
+    three_interpolate,
+    three_nn,
+)
+from coda_neurips2023_tpu.ops.hungarian import matcher_assignments
+from coda_neurips2023_tpu.ops.interpolate import interpolation_weights
+from coda_neurips2023_tpu.ops import box_ops
+from coda_neurips2023_tpu.ops.giou import clip_polygon_area
+
+from golden import (
+    ball_query_golden,
+    fps_golden,
+    giou_golden,
+    polygon_area_golden,
+    polygon_clip_golden,
+    three_nn_golden,
+)
+
+
+def rand_pc(rng, b, n, scale=3.0):
+    return (rng.standard_normal((b, n, 3)) * scale).astype(np.float32)
+
+
+class TestFPS:
+    def test_matches_golden(self):
+        rng = np.random.default_rng(0)
+        xyz = rand_pc(rng, 3, 257)
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 33, use_pallas=False))
+        want = fps_golden(xyz, 33)
+        np.testing.assert_array_equal(got, want)
+
+    def test_near_origin_points_skipped(self):
+        rng = np.random.default_rng(1)
+        xyz = rand_pc(rng, 2, 64)
+        xyz[:, 5:20] = 0.0  # |p|^2 <= 1e-3 -> never selected
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 16, use_pallas=False))
+        assert not np.any((got >= 5) & (got < 20))
+        np.testing.assert_array_equal(got, fps_golden(xyz, 16))
+
+    def test_seed_is_zero(self):
+        rng = np.random.default_rng(2)
+        xyz = rand_pc(rng, 2, 50)
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 8, use_pallas=False))
+        assert np.all(got[:, 0] == 0)
+
+    def test_pallas_interpret_matches_xla(self):
+        # Pallas kernel correctness via interpret mode on CPU
+        from jax.experimental.pallas import tpu as pltpu
+        from coda_neurips2023_tpu.ops.pallas_fps import fps_pallas
+
+        rng = np.random.default_rng(3)
+        xyz = rand_pc(rng, 2, 200)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fps_pallas(jnp.asarray(xyz), 16))
+        np.testing.assert_array_equal(got, fps_golden(xyz, 16))
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("radius,nsample", [(0.8, 8), (2.0, 16)])
+    def test_matches_golden(self, radius, nsample):
+        rng = np.random.default_rng(4)
+        xyz = rand_pc(rng, 2, 128, scale=1.0)
+        new_xyz = xyz[:, :32]
+        got = np.asarray(ball_query(radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        want = ball_query_golden(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+
+    def test_no_hits_gives_zeros(self):
+        xyz = np.ones((1, 16, 3), dtype=np.float32) * 100.0
+        new_xyz = np.zeros((1, 4, 3), dtype=np.float32)
+        got = np.asarray(ball_query(0.5, 4, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        np.testing.assert_array_equal(got, 0)
+
+
+class TestGatherGroup:
+    def test_gather(self):
+        rng = np.random.default_rng(5)
+        pts = rng.standard_normal((2, 10, 4)).astype(np.float32)
+        idx = rng.integers(0, 10, size=(2, 6)).astype(np.int32)
+        got = np.asarray(gather_points(jnp.asarray(pts), jnp.asarray(idx)))
+        want = np.stack([pts[b][idx[b]] for b in range(2)])
+        np.testing.assert_allclose(got, want)
+
+    def test_group(self):
+        rng = np.random.default_rng(6)
+        feats = rng.standard_normal((2, 10, 5)).astype(np.float32)
+        idx = rng.integers(0, 10, size=(2, 3, 4)).astype(np.int32)
+        got = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx)))
+        want = np.stack([feats[b][idx[b]] for b in range(2)])
+        np.testing.assert_allclose(got, want)
+
+    def test_gather_grad_is_scatter_add(self):
+        pts = jnp.ones((1, 5, 2))
+        idx = jnp.asarray([[0, 0, 3]], dtype=jnp.int32)
+        g = jax.grad(lambda p: jnp.sum(gather_points(p, idx)))(pts)
+        want = np.zeros((1, 5, 2))
+        want[0, 0] = 2.0
+        want[0, 3] = 1.0
+        np.testing.assert_allclose(np.asarray(g), want)
+
+
+class TestInterpolate:
+    def test_three_nn(self):
+        rng = np.random.default_rng(7)
+        unknown = rand_pc(rng, 2, 20)
+        known = rand_pc(rng, 2, 9)
+        d2, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+        wd2, widx = three_nn_golden(unknown, known)
+        np.testing.assert_array_equal(np.asarray(idx), widx)
+        np.testing.assert_allclose(np.asarray(d2), wd2, rtol=1e-5, atol=1e-5)
+
+    def test_three_interpolate(self):
+        rng = np.random.default_rng(8)
+        unknown = rand_pc(rng, 1, 12)
+        known = rand_pc(rng, 1, 6)
+        feats = rng.standard_normal((1, 6, 4)).astype(np.float32)
+        d2, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+        w = interpolation_weights(d2)
+        out = three_interpolate(jnp.asarray(feats), idx, w)
+        wn = np.asarray(w)
+        gathered = feats[0][np.asarray(idx)[0]]  # (N, 3, C)
+        want = np.einsum("nk,nkc->nc", wn[0], gathered)[None]
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+
+def random_boxes(rng, b, k, rotated=True):
+    centers = rng.uniform(-2, 2, size=(b, k, 3)).astype(np.float32)
+    sizes = rng.uniform(0.3, 2.0, size=(b, k, 3)).astype(np.float32)
+    angles = (
+        rng.uniform(-np.pi, np.pi, size=(b, k)).astype(np.float32)
+        if rotated
+        else np.zeros((b, k), np.float32)
+    )
+    corners = np.asarray(
+        box_ops.get_3d_box_batch(jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers))
+    )
+    return corners
+
+
+class TestPolygonClip:
+    def test_random_quads(self):
+        rng = np.random.default_rng(9)
+        for _ in range(50):
+            c1 = rng.uniform(-1, 1, 2)
+            c2 = rng.uniform(-1, 1, 2)
+            s1, s2 = rng.uniform(0.2, 1.5, 2), rng.uniform(0.2, 1.5, 2)
+            a1, a2 = rng.uniform(-np.pi, np.pi, 2)
+
+            def quad(c, s, a):
+                # CCW rect footprint like the reference's [3,2,1,0]x(x,z) slice
+                base = np.array([[1, 1], [-1, 1], [-1, -1], [1, -1]], np.float32)
+                base = base * np.asarray(s, np.float32) / 2
+                rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], np.float32)
+                return base @ rot.T + np.asarray(c, np.float32)
+
+            q1, q2 = quad(c1, s1, a1), quad(c2, s2, a2)
+            got = float(clip_polygon_area(jnp.asarray(q1)[None], jnp.asarray(q2)[None])[0])
+            want = polygon_area_golden(polygon_clip_golden(q1, q2))
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+
+class TestGIoU:
+    @pytest.mark.parametrize("rotated", [True, False])
+    def test_matches_golden(self, rotated):
+        rng = np.random.default_rng(10)
+        c1 = random_boxes(rng, 2, 6, rotated)
+        c2 = random_boxes(rng, 2, 5, rotated)
+        nums = np.array([5, 3], np.int32)
+        got = np.asarray(
+            generalized_box3d_iou(jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(nums), rotated)
+        )
+        want = giou_golden(c1, c2, nums, rotated)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_identical_boxes_iou_one(self):
+        rng = np.random.default_rng(11)
+        c = random_boxes(rng, 1, 3, True)
+        g = np.asarray(
+            generalized_box3d_iou(jnp.asarray(c), jnp.asarray(c), jnp.asarray([3]), True)
+        )
+        np.testing.assert_allclose(np.diagonal(g[0]), 1.0, atol=1e-3)
+
+    def test_differentiable(self):
+        rng = np.random.default_rng(12)
+        c1 = jnp.asarray(random_boxes(rng, 1, 2, True))
+        c2 = jnp.asarray(random_boxes(rng, 1, 2, True))
+
+        def f(c):
+            return jnp.sum(generalized_box3d_iou(c, c2, jnp.asarray([2]), True))
+
+        g = jax.grad(f)(c1)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestHungarian:
+    def test_matches_scipy_total_cost(self):
+        rng = np.random.default_rng(13)
+        for _ in range(20):
+            r, c = rng.integers(1, 20), rng.integers(20, 40)
+            cost = rng.standard_normal((1, r, c)).astype(np.float32) * 10
+            col4row = np.asarray(hungarian_match(jnp.asarray(cost)))[0]
+            ri, ci = scipy.optimize.linear_sum_assignment(cost[0])
+            got_total = cost[0][np.arange(r), col4row].sum()
+            want_total = cost[0][ri, ci].sum()
+            assert len(set(col4row.tolist())) == r  # distinct columns
+            assert got_total == pytest.approx(want_total, rel=1e-4, abs=1e-4)
+
+    def test_matcher_assignments_match_reference_semantics(self):
+        rng = np.random.default_rng(14)
+        b, nprop, ngt = 3, 16, 8
+        cost = rng.standard_normal((b, nprop, ngt)).astype(np.float32)
+        nactual = np.array([8, 3, 0], np.int32)
+        out = matcher_assignments(jnp.asarray(cost), jnp.asarray(nactual))
+        per_prop = np.asarray(out["per_prop_gt_inds"])
+        mask = np.asarray(out["proposal_matched_mask"])
+        for bi in range(b):
+            want_pp = np.zeros(nprop, np.int64)
+            want_mask = np.zeros(nprop, np.float32)
+            if nactual[bi] > 0:
+                ri, ci = scipy.optimize.linear_sum_assignment(cost[bi, :, : nactual[bi]])
+                got_pairs_cost = 0.0
+                for p in range(nprop):
+                    if mask[bi, p]:
+                        got_pairs_cost += cost[bi, p, per_prop[bi, p]]
+                want_cost = cost[bi][ri, ci].sum()
+                assert got_pairs_cost == pytest.approx(want_cost, rel=1e-4, abs=1e-4)
+                assert mask[bi].sum() == nactual[bi]
+            else:
+                np.testing.assert_array_equal(per_prop[bi], want_pp)
+                np.testing.assert_array_equal(mask[bi], want_mask)
+
+
+class TestBoxOps:
+    def test_angle_roundtrip(self):
+        angles = jnp.asarray(np.linspace(0.01, 2 * np.pi - 0.01, 37, dtype=np.float32))
+        cls, res = box_ops.angle2class(angles, 12)
+        back = box_ops.class2angle(cls, res, 12)
+        # class2angle wraps to (-pi, pi]
+        want = np.asarray(angles)
+        want = np.where(want > np.pi, want - 2 * np.pi, want)
+        np.testing.assert_allclose(np.asarray(back), want, rtol=1e-5, atol=1e-5)
+
+    def test_angle2class_matches_reference_scalar(self):
+        # scalar reference implementation from the dataset config
+        def ref_angle2class(angle, num_class=12):
+            angle = angle % (2 * np.pi)
+            angle_per_class = 2 * np.pi / float(num_class)
+            shifted = (angle + angle_per_class / 2) % (2 * np.pi)
+            cid = int(shifted / angle_per_class)
+            res = shifted - (cid * angle_per_class + angle_per_class / 2)
+            return cid, res
+
+        rng = np.random.default_rng(15)
+        angles = rng.uniform(-np.pi, np.pi, 64).astype(np.float32)
+        cls, res = box_ops.angle2class(jnp.asarray(angles), 12)
+        for i, a in enumerate(angles):
+            wc, wr = ref_angle2class(float(a))
+            assert int(cls[i]) == wc
+            assert float(res[i]) == pytest.approx(wr, abs=1e-5)
+
+    def test_flip_axis_roundtrip(self):
+        rng = np.random.default_rng(16)
+        pc = jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(box_ops.flip_axis_to_depth(box_ops.flip_axis_to_camera(pc))),
+            np.asarray(pc),
+            rtol=1e-6,
+        )
+
+    def test_shift_scale_points(self):
+        rng = np.random.default_rng(17)
+        pts = rng.uniform(-4, 4, (2, 10, 3)).astype(np.float32)
+        mins = pts.min(axis=1)
+        maxs = pts.max(axis=1)
+        out = np.asarray(
+            box_ops.shift_scale_points(jnp.asarray(pts), (jnp.asarray(mins), jnp.asarray(maxs)))
+        )
+        assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5
+
+    def test_corners_shape_and_center(self):
+        rng = np.random.default_rng(18)
+        sizes = jnp.asarray(rng.uniform(0.5, 2, (2, 4, 3)).astype(np.float32))
+        angles = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 4)).astype(np.float32))
+        centers = jnp.asarray(rng.uniform(-2, 2, (2, 4, 3)).astype(np.float32))
+        corners = box_ops.get_3d_box_batch(sizes, angles, centers)
+        assert corners.shape == (2, 4, 8, 3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(corners, axis=2)), np.asarray(centers), rtol=1e-4, atol=1e-4
+        )

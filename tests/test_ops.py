@@ -187,13 +187,27 @@ class TestGIoU:
         want = giou_golden(c1, c2, nums, rotated)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
-    def test_identical_boxes_iou_one(self):
+    def test_identical_boxes_matches_golden(self):
+        # NB: exactly coincident boxes are a degenerate case of the reference's
+        # strict-inequality clipping (intersection collapses to 0 and the gIoU
+        # falls back to the enclosing-volume term); we reproduce the golden
+        # behavior rather than the mathematically-ideal IoU=1.
         rng = np.random.default_rng(11)
         c = random_boxes(rng, 1, 3, True)
         g = np.asarray(
             generalized_box3d_iou(jnp.asarray(c), jnp.asarray(c), jnp.asarray([3]), True)
         )
-        np.testing.assert_allclose(np.diagonal(g[0]), 1.0, atol=1e-3)
+        want = giou_golden(c, c, np.asarray([3], np.int32), True)
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-4)
+        # nearly-identical boxes (realistic case): still golden-exact. (Note
+        # the value is < 1 even at perfect overlap for rotated boxes: the
+        # reference's enclosing term is the axis-aligned bounding volume.)
+        c2 = c + 1e-4
+        g2 = np.asarray(
+            generalized_box3d_iou(jnp.asarray(c), jnp.asarray(c2), jnp.asarray([3]), True)
+        )
+        w2 = giou_golden(c, c2, np.asarray([3], np.int32), True)
+        np.testing.assert_allclose(g2, w2, rtol=1e-4, atol=1e-4)
 
     def test_differentiable(self):
         rng = np.random.default_rng(12)

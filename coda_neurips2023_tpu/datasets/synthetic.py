@@ -108,10 +108,14 @@ class SyntheticDetectionDataset:
             angle_cls = np.asarray(ac, np.int64)
             angle_res = np.asarray(ar, np.float32)
 
-        corners_cam = _np_corners_camera(centers[None], sizes[None], angles[None])[0]
-        corners_xyz = _np_corners_xyz(centers[None], sizes[None], angles[None])[0]
-        corners_cam *= present[:, None, None]
-        corners_xyz *= present[:, None, None]
+        corners_cam = (
+            _np_corners_camera(centers[None], sizes[None], angles[None])[0]
+            * present[:, None, None]
+        )
+        corners_xyz = (
+            _np_corners_xyz(centers[None], sizes[None], angles[None])[0]
+            * present[:, None, None]
+        )
 
         return {
             "point_clouds": pc.astype(np.float32),

@@ -1,0 +1,207 @@
+"""Train/eval engine.
+
+Re-design of /root/reference/engine.py for single-controller JAX:
+  * ONE jitted, mesh-sharded train step (forward + criterion + grad + AdamW
+    update + BN stat update) replaces the reference's python step body with
+    its device->host matcher/gIoU escapes, NCCL allreduce of the loss dict
+    (engine.py:152-153) and DDP gradient allreduce;
+  * the per-iteration warmup+cosine LR lives inside the optax schedule
+    (optimizer.py) instead of mutating param groups per step
+    (engine.py:33-55, 124);
+  * non-finite loss aborts the run like engine.py:155-157;
+  * evaluation jits the forward and streams (already-global) outputs to the
+    host APCalculator -- no all_gather_dict (engine.py:2634-2636).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from coda_neurips2023_tpu.models.model_3detr import get_class_scores
+from coda_neurips2023_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from coda_neurips2023_tpu.utils.ap_calculator import APCalculator
+from coda_neurips2023_tpu.utils.misc import SmoothedValue
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+
+
+def create_train_state(model, tx, rng, sample_inputs) -> TrainState:
+    variables = model.init(rng, sample_inputs, train=False)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}),
+        opt_state=tx.init(params),
+    )
+
+
+# keys of the batch dict the criterion consumes as targets
+_TARGET_KEYS = (
+    "point_clouds",
+    "gt_box_corners",
+    "gt_box_centers_normalized",
+    "gt_box_sizes_normalized",
+    "gt_box_angles",
+    "gt_angle_class_label",
+    "gt_angle_residual_label",
+    "gt_box_sem_cls_label",
+    "gt_box_present",
+    "gt_box_seen_sem_cls_label",
+    "gt_box_seen_sem_cls_confi",
+)
+
+
+def make_train_step(model, criterion, tx, extra_targets_fn: Optional[Callable] = None):
+    """Returns jit(state, batch, rng) -> (state, metrics).
+
+    extra_targets_fn(outputs, batch) -> dict may inject CLIP-dependent
+    targets (text banks, distillation embeddings) into the criterion; stage-1
+    and stage-2 paths use it (model_3detr.py get_predicted_box_clip_embedding*).
+    """
+
+    def loss_fn(params, batch_stats, constants, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats, "constants": constants}
+        outputs, mutated = model.apply(
+            variables,
+            batch,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        targets = {k: batch[k] for k in _TARGET_KEYS if k in batch}
+        if extra_targets_fn is not None:
+            targets.update(extra_targets_fn(outputs, batch))
+        loss, loss_dict = criterion(outputs, targets)
+        return loss, (loss_dict, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, state.constants, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = {"loss": loss, **loss_dict}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, eval_text_features=None, eval_logit_scale: float = 100.0):
+    """Returns jit(state, batch) -> outputs for the APCalculator.
+
+    With `eval_text_features` (ncls, 512), classification goes through the
+    distillation head's text-correlation path (reference get_class_scores,
+    model_3detr.py:1742-1764) -- no CLIP forward at eval.
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "constants": state.constants,
+        }
+        outputs = model.apply(variables, batch, train=False)
+        last = {k: v[-1] for k, v in outputs.items() if k not in ("query_xyz", "enc_xyz", "enc_inds")}
+        if eval_text_features is not None:
+            last["sem_cls_prob"] = get_class_scores(
+                last["text_correlation_embedding"],
+                eval_text_features,
+                jnp.float32(eval_logit_scale),
+            )
+        return {
+            "box_corners": last["box_corners"],
+            "sem_cls_prob": last["sem_cls_prob"],
+            "objectness_prob": last["objectness_prob"],
+            "center_unnormalized": last["center_unnormalized"],
+            "size_unnormalized": last["size_unnormalized"],
+            "angle_continuous": last["angle_continuous"],
+        }
+
+    return eval_step
+
+
+def train_one_epoch(
+    train_step,
+    state: TrainState,
+    batches,
+    rng,
+    mesh=None,
+    logger=None,
+    curr_epoch: int = 0,
+    log_every: int = 10,
+):
+    """Python epoch loop (reference train_one_epoch, engine.py:58-377)."""
+    iter_time = SmoothedValue(window_size=10)
+    loss_avg = SmoothedValue(window_size=10)
+    metrics_out = {}
+    for it, batch in enumerate(batches):
+        t0 = time.perf_counter()
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, metrics = train_step(state, batch, rng)
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            print("Loss in not finite. Training will be stopped.")
+            sys.exit(1)
+        iter_time.update(time.perf_counter() - t0)
+        loss_avg.update(loss)
+        metrics_out = metrics
+        if logger is not None and it % log_every == 0:
+            logger.log_scalars(
+                {k: float(v) for k, v in metrics.items()},
+                int(state.step),
+                prefix="Train_details/",
+            )
+    return state, metrics_out
+
+
+def evaluate(
+    eval_step,
+    state: TrainState,
+    batches,
+    dataset_config,
+    mesh=None,
+    class2type_map=None,
+    exact_eval: bool = True,
+    dataset_name: str = "sunrgbd",
+) -> APCalculator:
+    """Reference evaluate (engine.py:2553-2664): stream jitted outputs into
+    the host AP meter; caller computes metrics."""
+    ap = APCalculator(
+        dataset_config=dataset_config,
+        ap_iou_thresh=[0.25, 0.5],
+        class2type_map=class2type_map,
+        exact_eval=exact_eval,
+        dataset_name=dataset_name,
+    )
+    for batch in batches:
+        device_batch = shard_batch(mesh, batch) if mesh is not None else batch
+        outputs = jax.device_get(eval_step(state, device_batch))
+        ap.step_meter({"outputs": outputs}, batch)
+    return ap

@@ -1,0 +1,337 @@
+"""CLIP ViT-B/16 (image + text towers) in flax.
+
+TPU-native re-implementation of the reference's vendored OpenAI CLIP
+(/root/reference/CLIP/clip/model.py: VisionTransformer :595, CLIP :969,
+encode_image :1066, encode_text :1069) -- only the pieces the two wired CoDA
+models use: the ViT-B/16 visual tower, the text transformer, logit_scale,
+and the tensor-native preprocessing (clip.py:95-101 `_transform_for_tensor`:
+bicubic resize to 224 + center crop + /255 + mean/std normalize, no PIL).
+
+Weights: `convert_openai_checkpoint` maps an OpenAI CLIP .pt state dict
+(loaded with torch, CPU) into this module's flax params; random init is used
+when no checkpoint is supplied (tests / data-free environments).
+
+TPU notes: the whole crop batch (B * distillation_box_num crops) is encoded
+in ONE forward -- the reference loops crops per sample through the tower
+(model_3detr.py:984-1210).  Attention is jax dot-product attention; all
+shapes static (77 text tokens, 197 image tokens).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.width, name="attn"
+        )(inputs_q=y, inputs_k=y, inputs_v=y, mask=attn_mask)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        y = nn.Dense(self.width * 4, name="c_fc")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(self.width, name="c_proj")(y)
+        return x + y
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, self.heads, name=f"resblock{i}")(
+                x, attn_mask
+            )
+        return x
+
+
+class VisionTransformer(nn.Module):
+    input_resolution: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) preprocessed -> (B, output_dim)."""
+        b = x.shape[0]
+        x = nn.Conv(
+            self.width,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False,
+            name="conv1",
+        )(x)
+        x = x.reshape(b, -1, self.width)  # (B, grid*grid, width)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(self.width ** -0.5), (self.width,)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.width)), x], axis=1)
+        n_tok = (self.input_resolution // self.patch_size) ** 2 + 1
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.width ** -0.5),
+            (n_tok, self.width),
+        )
+        x = x + pos
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        x = Transformer(self.width, self.layers, self.heads, name="transformer")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
+        proj = self.param(
+            "proj",
+            nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.output_dim),
+        )
+        return x @ proj
+
+
+class TextTransformer(nn.Module):
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    output_dim: int = 512
+
+    @nn.compact
+    def __call__(self, text_tokens):
+        """text_tokens: (B, 77) int32 -> (B, output_dim). Pools at the argmax
+        token (the EOT token has the highest id in CLIP BPE)."""
+        emb = nn.Embed(self.vocab_size, self.width, name="token_embedding")
+        x = emb(text_tokens)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+        )
+        x = x + pos
+        causal = jnp.tril(
+            jnp.ones((self.context_length, self.context_length), bool)
+        )[None, None]
+        x = Transformer(self.width, self.layers, self.heads, name="transformer")(
+            x, attn_mask=causal
+        )
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
+        eot = jnp.argmax(text_tokens, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.output_dim),
+        )
+        return pooled @ proj
+
+
+class CLIP(nn.Module):
+    """Combined towers + logit_scale (reference model.py:969-1146)."""
+
+    embed_dim: int = 512
+    image_resolution: int = 224
+    vision_patch_size: int = 16
+    vision_width: int = 768
+    vision_layers: int = 12
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    context_length: int = 77
+    vocab_size: int = 49408
+
+    def setup(self):
+        self.visual = VisionTransformer(
+            input_resolution=self.image_resolution,
+            patch_size=self.vision_patch_size,
+            width=self.vision_width,
+            layers=self.vision_layers,
+            heads=self.vision_width // 64,
+            output_dim=self.embed_dim,
+        )
+        self.text = TextTransformer(
+            context_length=self.context_length,
+            vocab_size=self.vocab_size,
+            width=self.text_width,
+            layers=self.text_layers,
+            heads=self.text_heads,
+            output_dim=self.embed_dim,
+        )
+        self.logit_scale = self.param(
+            "logit_scale", lambda rng: jnp.asarray(np.log(1 / 0.07), jnp.float32)
+        )
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        return scale * img @ txt.T, (scale * txt @ img.T)
+
+
+def preprocess_images(images: jnp.ndarray, resolution: int = 224) -> jnp.ndarray:
+    """Tensor-native CLIP preprocessing (reference clip.py:95-101):
+    bicubic resize (short side -> resolution), center crop, scale to [0,1],
+    normalize. images: (B, H, W, 3) uint8/float in [0, 255]."""
+    images = images.astype(jnp.float32)
+    b, h, w, _ = images.shape
+    # resize short side to `resolution`, preserving aspect
+    if h <= w:
+        nh, nw = resolution, max(int(round(w * resolution / h)), resolution)
+    else:
+        nh, nw = max(int(round(h * resolution / w)), resolution), resolution
+    images = jax.image.resize(images, (b, nh, nw, 3), method="cubic")
+    top = (nh - resolution) // 2
+    left = (nw - resolution) // 2
+    images = jax.lax.dynamic_slice(
+        images, (0, top, left, 0), (b, resolution, resolution, 3)
+    )
+    images = images / 255.0
+    return (images - IMAGE_MEAN) / IMAGE_STD
+
+
+# ---------------------------------------------------------------- converter
+
+
+def _torch_state_dict(ckpt_path: str):
+    import torch
+
+    obj = torch.jit.load(ckpt_path, map_location="cpu") if ckpt_path.endswith(".pt") else None
+    try:
+        sd = obj.state_dict()
+    except Exception:
+        sd = torch.load(ckpt_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _mha_params(sd, prefix):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    w = sd[prefix + "in_proj_weight"]  # (3w, w)
+    b = sd[prefix + "in_proj_bias"]
+    width = w.shape[1]
+    heads_w = {}
+    for i, name in enumerate(["query", "key", "value"]):
+        wi = w[i * width:(i + 1) * width].T  # (in, out)
+        bi = b[i * width:(i + 1) * width]
+        heads_w[name] = {"kernel": wi, "bias": bi}
+    heads_w["out"] = {
+        "kernel": sd[prefix + "out_proj.weight"].T,
+        "bias": sd[prefix + "out_proj.bias"],
+    }
+    return heads_w
+
+
+def _reshape_mha_for_flax(p, num_heads):
+    """flax MHA expects kernels shaped (in, heads, head_dim)."""
+    out = {}
+    for name in ["query", "key", "value"]:
+        k = p[name]["kernel"]
+        width_in, width_out = k.shape
+        hd = width_out // num_heads
+        out[name] = {
+            "kernel": k.reshape(width_in, num_heads, hd),
+            "bias": p[name]["bias"].reshape(num_heads, hd),
+        }
+    k = p["out"]["kernel"]
+    width_in, width_out = k.shape
+    hd = width_in // num_heads
+    out["out"] = {
+        "kernel": k.reshape(num_heads, hd, width_out),
+        "bias": p["out"]["bias"],
+    }
+    return out
+
+
+def _block_params(sd, prefix, heads):
+    return {
+        "ln_1": {"scale": sd[prefix + "ln_1.weight"], "bias": sd[prefix + "ln_1.bias"]},
+        "ln_2": {"scale": sd[prefix + "ln_2.weight"], "bias": sd[prefix + "ln_2.bias"]},
+        "attn": _reshape_mha_for_flax(_mha_params(sd, prefix + "attn."), heads),
+        "c_fc": {
+            "kernel": sd[prefix + "mlp.c_fc.weight"].T,
+            "bias": sd[prefix + "mlp.c_fc.bias"],
+        },
+        "c_proj": {
+            "kernel": sd[prefix + "mlp.c_proj.weight"].T,
+            "bias": sd[prefix + "mlp.c_proj.bias"],
+        },
+    }
+
+
+def convert_openai_checkpoint(ckpt_path: str) -> dict:
+    """OpenAI CLIP .pt -> flax params for the CLIP module above."""
+    sd = _torch_state_dict(ckpt_path)
+    vision_layers = len(
+        {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")}
+    )
+    text_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}
+    )
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    vision_heads = vision_width // 64
+    text_width = sd["ln_final.weight"].shape[0]
+    text_heads = text_width // 64
+
+    visual = {
+        "conv1": {"kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)},
+        "class_embedding": sd["visual.class_embedding"],
+        "positional_embedding": sd["visual.positional_embedding"],
+        "ln_pre": {
+            "scale": sd["visual.ln_pre.weight"],
+            "bias": sd["visual.ln_pre.bias"],
+        },
+        "ln_post": {
+            "scale": sd["visual.ln_post.weight"],
+            "bias": sd["visual.ln_post.bias"],
+        },
+        "proj": sd["visual.proj"],
+        "transformer": {
+            f"resblock{i}": _block_params(
+                sd, f"visual.transformer.resblocks.{i}.", vision_heads
+            )
+            for i in range(vision_layers)
+        },
+    }
+    text = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": {"scale": sd["ln_final.weight"], "bias": sd["ln_final.bias"]},
+        "text_projection": sd["text_projection"],
+        "transformer": {
+            f"resblock{i}": _block_params(sd, f"transformer.resblocks.{i}.", text_heads)
+            for i in range(text_layers)
+        },
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": sd["logit_scale"],
+    }

@@ -1,0 +1,184 @@
+"""CLIP crop distillation targets -- fully batched on device.
+
+Re-design of get_predicted_box_clip_embedding
+(/root/reference/models/model_3detr.py:902-1210).  The reference runs a
+python loop per sample per box: crop with tensor slicing, pad to a white
+square, torchvision-resize, then one CLIP forward per sample.  That loop is
+the reference's hot spot #3 (SURVEY.md call stack) and forces host syncs.
+
+Here the whole thing is one jitted pipeline over static shapes:
+  1. un-augment predicted corners, project through K/Rtilt, build integer
+     crop rects in padded-image coordinates (ops/projection.py);
+  2. select `distillation_box_num` of the nq proposals per sample with an
+     on-device random permutation (reference: np.random.choice,
+     model_3detr.py:997);
+  3. gather-based square crop: each output pixel of the 224x224 crop is
+     bilinearly sampled from the image, with white (255) outside the crop
+     rect -- equivalent to the reference's white-square padding + resize.
+     (Divergence note: reference uses torchvision bicubic+antialias; we use
+     bilinear point sampling.  CLIP scores feed 0.3/0.5 thresholds, so
+     moderate drift is acceptable per SURVEY.md hard-part #4.)
+  4. ONE CLIP image forward over the (B * n_sel) crop batch;
+  5. scatter embeddings back to (B, nq, 512) + validity mask; derive CLIP
+     weak labels/confidences (model_3detr.py:1160-1185).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from coda_neurips2023_tpu.models.clip import IMAGE_MEAN, IMAGE_STD
+from coda_neurips2023_tpu.ops.projection import corners_to_image_rects, unaugment_corners
+
+
+def crop_square_resize_white(image, rect, out_size: int = 224):
+    """image: (H, W, 3) float; rect: (4,) int32 [xmin, ymin, xmax, ymax].
+    Returns (out_size, out_size, 3): the rect cropped, white-padded to square
+    (centered), resized -- computed as one bilinear gather."""
+    h_img, w_img = image.shape[0], image.shape[1]
+    xmin, ymin, xmax, ymax = rect[0], rect[1], rect[2], rect[3]
+    w = (ymax - ymin).astype(jnp.float32)  # vertical extent (reference naming)
+    h = (xmax - xmin).astype(jnp.float32)  # horizontal extent
+    max_edge = jnp.maximum(w, h)
+    y_begin = jnp.floor((max_edge - w) / 2)
+    x_begin = jnp.floor((max_edge - h) / 2)
+
+    grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * max_edge / out_size - 0.5
+    sy = grid[:, None] - y_begin + ymin.astype(jnp.float32)  # image y coords
+    sx = grid[None, :] - x_begin + xmin.astype(jnp.float32)  # image x coords
+    sy = jnp.broadcast_to(sy, (out_size, out_size))
+    sx = jnp.broadcast_to(sx, (out_size, out_size))
+
+    inside = (
+        (sy >= ymin) & (sy <= ymax.astype(jnp.float32) - 1)
+        & (sx >= xmin) & (sx <= xmax.astype(jnp.float32) - 1)
+    )
+
+    y0 = jnp.clip(jnp.floor(sy), 0, h_img - 1)
+    x0 = jnp.clip(jnp.floor(sx), 0, w_img - 1)
+    y1 = jnp.clip(y0 + 1, 0, h_img - 1)
+    x1 = jnp.clip(x0 + 1, 0, w_img - 1)
+    wy = sy - y0
+    wx = sx - x0
+    y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
+
+    def gather(yy, xx):
+        return image[yy, xx]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+    val = (
+        v00 * ((1 - wy) * (1 - wx))[..., None]
+        + v01 * ((1 - wy) * wx)[..., None]
+        + v10 * (wy * (1 - wx))[..., None]
+        + v11 * (wy * wx)[..., None]
+    )
+    return jnp.where(inside[..., None], val, 255.0)
+
+
+def preprocess_crops(crops):
+    """(N, 224, 224, 3) in [0,255] -> CLIP-normalized."""
+    crops = crops / 255.0
+    return (crops - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+
+
+def build_clip_distillation_targets(
+    rng,
+    outputs: dict,
+    batch: dict,
+    clip_apply_fn,
+    text_features: Optional[jnp.ndarray] = None,
+    logit_scale: Optional[jnp.ndarray] = None,
+    distillation_box_num: int = 32,
+    if_clip_weak_labels: bool = False,
+    crop_size: int = 224,
+):
+    """Returns the criterion targets produced by the reference forward:
+    gt_text_correlation_embedding (B, nq, 512),
+    gt_text_correlation_embedding_mask (B, nq, 1),
+    weak_box_cate_label (B, nq) int, weak_confidence_weight (B, nq).
+
+    `outputs` must hold the LAST decoder layer's box quantities (index [-1]
+    of the stacked model outputs).  `clip_apply_fn(images)` is the frozen
+    CLIP image tower.
+    """
+    corners_xyz = jax.lax.stop_gradient(outputs["box_corners_xyz"])
+    size_unnorm = jax.lax.stop_gradient(outputs["size_unnormalized"])
+    b, nq = corners_xyz.shape[:2]
+    n_sel = distillation_box_num
+
+    un_corners = unaugment_corners(
+        corners_xyz,
+        batch["scale_array"],
+        batch["rot_array"],
+        batch["flip_array"],
+        batch.get("zx_flip_array"),
+    )
+    rects, min_depth = corners_to_image_rects(
+        un_corners,
+        batch["K"],
+        batch["Rtilt"],
+        batch["ori_width"],
+        batch["ori_height"],
+        batch["x_offset"],
+        batch["y_offset"],
+        batch["image_flip_array"],
+        batch["flip_length"],
+    )
+
+    # per-sample random selection of distillation boxes
+    keys = jax.random.split(rng, b)
+    sel = jax.vmap(lambda k: jax.random.permutation(k, nq)[:n_sel])(keys)  # (B, n_sel)
+
+    sel_rects = jnp.take_along_axis(rects, sel[..., None], axis=1)  # (B, n_sel, 4)
+    sel_depth = jnp.take_along_axis(min_depth, sel, axis=1)
+    sel_size = jnp.take_along_axis(size_unnorm, sel[..., None], axis=1)
+    valid = (
+        (jnp.max(sel_size, axis=-1) >= 1e-16)
+        & (sel_rects[..., 2] - sel_rects[..., 0] > 0)
+        & (sel_rects[..., 3] - sel_rects[..., 1] > 0)
+        & (sel_depth >= 0)
+    )  # (B, n_sel)
+
+    images = batch["input_image"].astype(jnp.float32)  # (B, H, W, 3)
+    crops = jax.vmap(
+        lambda img, rcts: jax.vmap(
+            lambda r: crop_square_resize_white(img, r, crop_size)
+        )(rcts)
+    )(images, sel_rects)  # (B, n_sel, S, S, 3)
+    crops = preprocess_crops(crops.reshape(b * n_sel, crop_size, crop_size, 3))
+
+    emb = clip_apply_fn(crops)  # (B * n_sel, 512)
+    emb = emb.reshape(b, n_sel, -1).astype(jnp.float32)
+    emb = emb * valid[..., None]
+
+    gt_emb = jnp.zeros((b, nq, emb.shape[-1]), jnp.float32)
+    mask = jnp.zeros((b, nq, 1), jnp.float32)
+    gt_emb = jax.vmap(lambda g, s, e: g.at[s].set(e))(gt_emb, sel, emb)
+    mask = jax.vmap(lambda m, s, v: m.at[s].set(v[:, None]))(
+        mask, sel, valid.astype(jnp.float32)
+    )
+
+    targets = {
+        "gt_text_correlation_embedding": gt_emb,
+        "gt_text_correlation_embedding_mask": mask,
+    }
+    if if_clip_weak_labels and text_features is not None:
+        norm = gt_emb / (jnp.linalg.norm(gt_emb, axis=-1, keepdims=True) + 1e-32)
+        logits = jnp.einsum("bqc,kc->bqk", norm, text_features.astype(jnp.float32))
+        scores = jax.nn.softmax(logits * logit_scale, axis=-1)
+        conf = jnp.max(scores, axis=-1)
+        label = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        conf = jnp.where(mask[..., 0] < 1, 0.0, conf)
+        targets["weak_box_cate_label"] = label
+        targets["weak_confidence_weight"] = conf
+    else:
+        targets["weak_box_cate_label"] = jnp.zeros((b, nq), jnp.int32)
+        targets["weak_confidence_weight"] = jnp.zeros((b, nq), jnp.float32)
+    return targets

@@ -5,10 +5,13 @@ depends on the running min-distance array).  The reference solves this with
 one CUDA thread-block per batch row + shared-memory tree reduction
 (/root/reference/third_party_pointnet2/pointnet2/_ext_src/src/sampling_gpu.cu:71-168).
 
-On TPU the right design is to keep the whole point cloud (N x 3 floats,
-~240 KB at N=20k) and the running min-distance array resident in VMEM for the
-entire m-step loop, so the sequential loop never touches HBM.  Each step is a
-fused VPU pass: distance update, masked max-reduce, first-index argmax.
+TPU design: a TensorCore has no independent "blocks", so instead of a grid
+over batch rows (which would serialize on a single-core chip) ALL batch rows
+advance in lockstep -- coordinates live in VMEM as (B, N) planes (batch in
+sublanes, points in lanes), and each of the m sequential steps is one fused
+VPU pass over the whole (B, N) tile: distance update, masked row-max,
+first-index row-argmax, masked coordinate extraction.  Nothing touches HBM
+inside the loop.
 
 Parity quirks reproduced from the CUDA kernel:
   * index 0 is always selected first (sampling_gpu.cu:89);
@@ -34,37 +37,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fps_kernel(npoint: int, xyz_ref, out_ref, mind_ref):
-    # xyz_ref: (1, 3, Npad) f32; out_ref: (1, 1, Mpad) i32; mind_ref: (1, Npad) f32
-    n = xyz_ref.shape[-1]
-    x = xyz_ref[0, 0:1, :]
-    y = xyz_ref[0, 1:2, :]
-    z = xyz_ref[0, 2:3, :]
+def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, out_ref):
+    # refs: (B, Npad) f32 coordinate planes; out_ref: (B, Mpad) i32
+    b, n = x_ref.shape
+    m_pad = out_ref.shape[-1]
+    x = x_ref[:, :]
+    y = y_ref[:, :]
+    z = z_ref[:, :]
     valid = (x * x + y * y + z * z) > _MAG_EPS
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
 
-    out_ref[0, 0, 0] = 0
-    mind_ref[:] = jnp.full((1, n), _INIT_DIST, dtype=jnp.float32)
-
-    def body(j, last):
-        lx, ly, lz = last
+    def body(j, carry):
+        out_vec, mind, lx, ly, lz = carry
         d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        m = jnp.minimum(mind_ref[:], d)
-        mind_ref[:] = m
-        cand = jnp.where(valid, m, -1.0)
-        best = jnp.max(cand)
-        idx = jnp.min(jnp.where(cand == best, iota, n))
-        out_ref[0, 0, j] = idx
+        mind = jnp.minimum(mind, d)
+        cand = jnp.where(valid, mind, -1.0)
+        best = jnp.max(cand, axis=1, keepdims=True)  # (B, 1)
+        idx = jnp.min(jnp.where(cand == best, iota, n), axis=1, keepdims=True)
+        out_vec = jnp.where(iota_m == j, idx, out_vec)
         sel = iota == idx
         zeros = jnp.zeros_like(x)
-        return (
-            jnp.sum(jnp.where(sel, x, zeros)),
-            jnp.sum(jnp.where(sel, y, zeros)),
-            jnp.sum(jnp.where(sel, z, zeros)),
-        )
+        lx = jnp.sum(jnp.where(sel, x, zeros), axis=1, keepdims=True)
+        ly = jnp.sum(jnp.where(sel, y, zeros), axis=1, keepdims=True)
+        lz = jnp.sum(jnp.where(sel, z, zeros), axis=1, keepdims=True)
+        return (out_vec, mind, lx, ly, lz)
 
-    init = (x[0, 0], y[0, 0], z[0, 0])
-    jax.lax.fori_loop(1, npoint, body, init)
+    init = (
+        jnp.zeros((b, m_pad), jnp.int32),
+        jnp.full((b, n), _INIT_DIST, dtype=jnp.float32),
+        x[:, 0:1],
+        y[:, 0:1],
+        z[:, 0:1],
+    )
+    out_vec, _, _, _, _ = jax.lax.fori_loop(1, npoint, body, init)
+    out_ref[:, :] = out_vec  # column 0 stays 0 (seed index)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -73,21 +80,18 @@ def fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     b, n, _ = xyz.shape
     n_pad = _round_up(n, 128)
     m_pad = _round_up(npoint, 128)
-    # channels-first so N sits in lanes; zero padding is self-masking (|p|^2=0).
-    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
-    if n_pad != n:
-        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    xyz_f = xyz.astype(jnp.float32)
+    planes = []
+    for d in range(3):
+        p = xyz_f[:, :, d]
+        if n_pad != n:
+            p = jnp.pad(p, ((0, 0), (0, n_pad - n)))  # zero pad == self-masking
+        planes.append(p)
 
     out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint),
-        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
-    )(xyz_t)
-    return out[:, 0, :npoint]
+        out_shape=jax.ShapeDtypeStruct((b, m_pad), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(*planes)
+    return out[:, :npoint]

@@ -24,7 +24,7 @@ import numpy as np
 # Round-1 anchor for cross-round comparability (see module docstring).
 REF_SCENES_PER_SEC_V100 = 100.0
 
-BATCH = 48
+BATCH = 32  # reference stage-2 eval batch (scripts/coda_sunrgbd_stage2.sh)
 NUM_POINTS = 20000
 EVAL_CLASSES = 46
 WARMUP = 2
@@ -46,7 +46,10 @@ def main():
         "point_cloud_dims_min": jnp.asarray(batch["point_cloud_dims_min"]),
         "point_cloud_dims_max": jnp.asarray(batch["point_cloud_dims_max"]),
     }
-    variables = model.init(jax.random.PRNGKey(0), inputs, train=False)
+    # init on a batch-1 slice (params are batch-polymorphic; eager init at the
+    # full eval batch would materialize every intermediate)
+    init_inputs = {k: v[:1] for k, v in inputs.items()}
+    variables = model.init(jax.random.PRNGKey(0), init_inputs, train=False)
     rng = np.random.default_rng(0)
     text = rng.standard_normal((EVAL_CLASSES, 512)).astype(np.float32)
     text = jnp.asarray(text / np.linalg.norm(text, axis=1, keepdims=True))

@@ -1,0 +1,156 @@
+"""Dataset registry + split construction.
+
+Mirrors the reference registry (/root/reference/datasets/__init__.py:12-21;
+8 wired names) and build_dataset (:24-119), which makes 4 splits:
+  train/test on the OV-anonymous config, `real_test` on the named eval config
+  (46-class sunrgbd_image / 60-class scannet50_image), `real_cmp_test` on the
+  OV-3DETR cmp vocabulary.
+
+All SUN RGB-D variants share one parameterized implementation
+(datasets/sunrgbd.py); the ScanNet family is analogous (datasets/scannet.py).
+A synthetic generator (datasets/synthetic.py) backs tests/benchmarks when the
+licensed data is not present.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from coda_neurips2023_tpu.datasets.config import (
+    Scannet50ImageConfig,
+    ScannetAnonymousConfig,
+    SunrgbdAnonymousConfig,
+    SunrgbdImageConfig,
+)
+from coda_neurips2023_tpu.datasets.sunrgbd import SunrgbdDetectionDataset
+from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset
+
+
+def _sunrgbd_cfg(args, anonymous=True, num_semcls=None, cmp_vocab=False):
+    cfg_cls = SunrgbdAnonymousConfig if anonymous else SunrgbdImageConfig
+    kw = dict(
+        asset_dir=getattr(args, "asset_dir", None),
+        use_v1=getattr(args, "if_use_v1", True),
+        train_range=(args.train_range_min, args.train_range_max),
+        test_range=(args.test_range_min, args.test_range_max),
+        image_size=(args.image_size_width, args.image_size_height),
+    )
+    if not anonymous:
+        kw["num_semcls"] = num_semcls if num_semcls is not None else args.test_num_semcls
+    cfg = cfg_cls(**kw)
+    return cfg
+
+
+def _scannet_cfg(args, anonymous=True, num_semcls=None):
+    if anonymous:
+        return ScannetAnonymousConfig(
+            asset_dir=getattr(args, "asset_dir", None),
+            train_range=(args.train_range_min, args.train_range_max),
+            test_range=(args.test_range_min, args.test_range_max),
+        )
+    return Scannet50ImageConfig(
+        asset_dir=getattr(args, "asset_dir", None),
+        num_semcls=num_semcls if num_semcls is not None else args.test_num_semcls,
+        train_range=(args.train_range_min, args.train_range_max),
+        test_range=(args.test_range_min, args.test_range_max),
+    )
+
+
+# wired dataset names (reference datasets/__init__.py:12-21)
+DATASET_NAMES = (
+    "scannet_anonymous",
+    "scannet50_image",
+    "scannet_anonymous_aligned_image",
+    "scannet_anonymous_aligned_image_with_novel_cate_confi",
+    "sunrgbd_image",
+    "sunrgbd_anonymous_aligned_image",
+    "sunrgbd_anonymous_aligned_image_with_novel_cate_confi",
+    "sunrgbd_anonymous_aligned_image_object_aug",
+    "synthetic",
+)
+
+
+def build_dataset(args):
+    """Returns (dataset_dict{train,test,real_test,real_cmp_test},
+    dataset_config, real_test_config, real_cmp_config)."""
+    name = args.dataset_name
+    if name not in DATASET_NAMES:
+        raise ValueError(f"unknown dataset {name}")
+
+    if name == "synthetic" or args.dataset_root_dir is None:
+        # data-free mode: synthetic scenes with the same contract
+        cfg = _sunrgbd_cfg(args, anonymous=True)
+        real_cfg = _sunrgbd_cfg(args, anonymous=False)
+        mk = functools.partial(
+            SyntheticDetectionDataset, num_points=getattr(args, "num_points", 20000)
+        )
+        datasets = {
+            "train": mk(cfg, num_scenes=256, seed=args.seed),
+            "test": mk(cfg, num_scenes=64, seed=args.seed + 1),
+            "real_test": mk(real_cfg, num_scenes=64, seed=args.seed + 2),
+            "real_cmp_test": mk(real_cfg, num_scenes=64, seed=args.seed + 3),
+        }
+        return datasets, cfg, real_cfg, real_cfg
+
+    if name.startswith("sunrgbd"):
+        anon_cfg = _sunrgbd_cfg(args, anonymous=True)
+        real_cfg = _sunrgbd_cfg(args, anonymous=False)
+        cmp_cfg = _sunrgbd_cfg(args, anonymous=False, cmp_vocab=True)
+        use_pseudo = "with_novel_cate_confi" in name
+        common = dict(
+            root_dir=args.dataset_root_dir,
+            calib_dir=args.calib_dir,
+            image_dir=args.image_dir,
+            num_points=getattr(args, "num_points", 20000),
+            use_color=args.use_color,
+            if_input_image=args.if_input_image,
+            confidence_type_in_datalayer=args.confidence_type_in_datalayer,
+            pseudo_setting=args.pseudo_setting,
+        )
+        datasets = {
+            "train": SunrgbdDetectionDataset(
+                anon_cfg, "train", augment=True, anonymous=True,
+                use_pseudo_labels=use_pseudo,
+                if_image_augment=args.if_image_augment, **common,
+            ),
+            "test": SunrgbdDetectionDataset(
+                anon_cfg, "val", augment=False, anonymous=True, **common
+            ),
+            "real_test": SunrgbdDetectionDataset(
+                real_cfg, "val", augment=False, anonymous=False, **common
+            ),
+            "real_cmp_test": SunrgbdDetectionDataset(
+                cmp_cfg, "val", augment=False, anonymous=False, **common
+            ),
+        }
+        return datasets, anon_cfg, real_cfg, cmp_cfg
+
+    # scannet family
+    from coda_neurips2023_tpu.datasets.scannet import ScannetDetectionDataset
+
+    anon_cfg = _scannet_cfg(args, anonymous=True)
+    real_cfg = _scannet_cfg(args, anonymous=False)
+    use_pseudo = "with_novel_cate_confi" in name
+    common = dict(
+        root_dir=args.dataset_root_dir,
+        num_points=getattr(args, "num_points", 40000),
+        use_color=args.use_color,
+        if_input_image=args.if_input_image,
+        confidence_type_in_datalayer=args.confidence_type_in_datalayer,
+        pseudo_setting=args.pseudo_setting,
+    )
+    datasets = {
+        "train": ScannetDetectionDataset(
+            anon_cfg, "train", augment=True, anonymous=True,
+            use_pseudo_labels=use_pseudo,
+            if_image_augment=args.if_image_augment, **common,
+        ),
+        "test": ScannetDetectionDataset(anon_cfg, "val", augment=False, anonymous=True, **common),
+        "real_test": ScannetDetectionDataset(
+            real_cfg, "val", augment=False, anonymous=False, **common
+        ),
+        "real_cmp_test": ScannetDetectionDataset(
+            real_cfg, "val", augment=False, anonymous=False, **common
+        ),
+    }
+    return datasets, anon_cfg, real_cfg, real_cfg

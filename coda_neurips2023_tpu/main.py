@@ -1,0 +1,368 @@
+"""CLI entry point.
+
+Flag-compatible with the reference argparse surface (main.py:37-304) so the
+six shipped run scripts work verbatim (scripts/coda_*_stage{1,2}.sh,
+coda_baseline_*.sh):  `python -m coda_neurips2023_tpu.main --dataset_name … `.
+
+Differences by design (TPU single-controller SPMD):
+  * no process spawning / --dist_url rendezvous: one process drives the whole
+    mesh; --ngpus is interpreted as the number of chips to put in the "dp"
+    mesh (extra flags are accepted and ignored with a note);
+  * checkpoints are orbax directories rather than .pth files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+
+def make_args_parser():
+    parser = argparse.ArgumentParser("CoDA-TPU: open-vocabulary 3D detection", add_help=False)
+
+    ##### Optimizer #####
+    parser.add_argument("--base_lr", default=5e-4, type=float)
+    parser.add_argument("--warm_lr", default=1e-6, type=float)
+    parser.add_argument("--warm_lr_epochs", default=9, type=int)
+    parser.add_argument("--final_lr", default=1e-6, type=float)
+    parser.add_argument("--lr_scheduler", default="cosine", type=str)
+    parser.add_argument("--weight_decay", default=0.1, type=float)
+    parser.add_argument("--filter_biases_wd", default=False, action="store_true")
+    parser.add_argument("--clip_gradient", default=0.1, type=float)
+
+    ##### Model #####
+    parser.add_argument("--model_name", default="3detr_predictedbox_distillation", type=str)
+    parser.add_argument("--num_semcls", default=2, type=int)
+    parser.add_argument("--test_num_semcls", default=46, type=int)
+    parser.add_argument("--enc_type", default="vanilla", choices=["masked", "vanilla"])
+    parser.add_argument("--enc_nlayers", default=3, type=int)
+    parser.add_argument("--enc_dim", default=256, type=int)
+    parser.add_argument("--enc_ffn_dim", default=128, type=int)
+    parser.add_argument("--enc_dropout", default=0.1, type=float)
+    parser.add_argument("--enc_nhead", default=4, type=int)
+    parser.add_argument("--enc_activation", default="relu", type=str)
+    parser.add_argument("--dec_nlayers", default=8, type=int)
+    parser.add_argument("--dec_dim", default=256, type=int)
+    parser.add_argument("--dec_ffn_dim", default=256, type=int)
+    parser.add_argument("--dec_dropout", default=0.1, type=float)
+    parser.add_argument("--dec_nhead", default=4, type=int)
+    parser.add_argument("--mlp_dropout", default=0.3, type=float)
+    parser.add_argument("--nsemcls", default=-1, type=int)
+    parser.add_argument("--preenc_npoints", default=2048, type=int)
+    parser.add_argument("--pos_embed", default="fourier", choices=["fourier", "sine"])
+    parser.add_argument("--nqueries", default=256, type=int)
+    parser.add_argument("--use_color", default=False, action="store_true")
+
+    # accepted-for-compat knobs of unwired reference variants
+    parser.add_argument("--cross_enc_dim", default=256, type=int)
+    parser.add_argument("--cross_num_layers", default=3, type=int)
+    parser.add_argument("--cross_heads", default=4, type=int)
+    parser.add_argument("--cross_enc_nlayers", default=3, type=int)
+    parser.add_argument("--cross_enc_ffn_dim", default=128, type=int)
+    parser.add_argument("--cross_enc_dropout", default=0.1, type=float)
+    parser.add_argument("--cross_enc_nhead", default=4, type=int)
+    parser.add_argument("--every_number", default=4, type=int)
+    parser.add_argument("--pooling_methods", default="average", type=str)
+
+    ##### CLIP / open-vocab #####
+    parser.add_argument("--if_with_clip", default=False, action="store_true")
+    parser.add_argument("--if_with_clip_embed", default=False, action="store_true")
+    parser.add_argument("--if_use_gt_box", default=False, action="store_true")
+    parser.add_argument("--if_expand_box", default=False, action="store_true")
+    parser.add_argument("--if_with_fake_classes", default=False, action="store_true")
+    parser.add_argument("--if_clip_more_prompts", default=False, action="store_true")
+    parser.add_argument("--if_clip_superset", default=False, action="store_true")
+    parser.add_argument("--if_clip_weak_labels", default=False, action="store_true")
+    parser.add_argument("--clip_model_path", default="./CLIP/pretrain_models/ViT-B-16.pt", type=str)
+    parser.add_argument("--clip_bpe_path", default=None, type=str)
+    parser.add_argument("--distillation_box_num", default=32, type=int)
+    parser.add_argument("--eval_layer_id", default=-1, type=int)
+
+    ##### Stage-2 discovery #####
+    parser.add_argument("--if_keep_box", default=False, action="store_true")
+    parser.add_argument("--begin_keep_epoch", default=540, type=int)
+    parser.add_argument("--if_select_box_by_objectness", default=False, action="store_true")
+    parser.add_argument("--keep_objectness", default=0.5, type=float)
+    parser.add_argument("--save_objectness", default=0.3, type=float)
+    parser.add_argument("--clip_driven_keep_thres", default=0.3, type=float)
+    parser.add_argument("--online_nms_update_novel_label", default=False, action="store_true")
+    parser.add_argument("--online_nms_update_accumulate_novel_label", default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_novel_label_clip_driven_with_cate_confidence",
+                        default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_epoch", default=50, type=int)
+    parser.add_argument("--online_nms_update_accumulate_epoch", default=10, type=int)
+    parser.add_argument("--if_accumulate_former_pseudo_labels", default=False, action="store_true")
+    parser.add_argument("--if_reset_epoch_periodically", default=False, action="store_true")
+    parser.add_argument("--reset_epoch_periodically", default=50, type=int)
+    parser.add_argument("--pseudo_setting", default="setting0", type=str)
+    parser.add_argument("--confidence_type", default="non-confidence", type=str)
+    parser.add_argument("--confidence_type_in_datalayer", default="weight_one", type=str)
+    parser.add_argument("--if_only_seen_in_loss", default=False, action="store_true")
+    parser.add_argument("--if_skip_no_seen_scene_objectness", default=False, action="store_true")
+    parser.add_argument("--only_image_class", default=False, action="store_true")
+    parser.add_argument("--only_prompt_loss", default=False, action="store_true")
+
+    ##### Matcher #####
+    parser.add_argument("--matcher_giou_cost", default=2, type=float)
+    parser.add_argument("--matcher_cls_cost", default=1, type=float)
+    parser.add_argument("--matcher_center_cost", default=0, type=float)
+    parser.add_argument("--matcher_objectness_cost", default=0, type=float)
+
+    ##### Loss weights (reference main.py:160-260) #####
+    for name, default in [
+        ("loss_giou_weight", 0.0),
+        ("loss_sem_cls_weight", 1.0),
+        ("loss_sem_cls_softmax_weight", 0.0),
+        ("loss_sem_cls_softmax_skip_none_gt_sample_weight", 0.0),
+        ("loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight", 0.0),
+        ("loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness_weight", 0.0),
+        ("loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness_weight", 0.0),
+        ("loss_sem_cls_softmax_discovery_novel_objectness_weight", 0.0),
+        ("loss_no_object_weight", 0.2),
+        ("loss_no_object_contrast_weight", 0.05),
+        ("loss_angle_cls_weight", 0.1),
+        ("loss_angle_reg_weight", 0.5),
+        ("loss_center_weight", 5.0),
+        ("loss_size_weight", 1.0),
+        ("loss_contrastive_weight", 0.0),
+        ("loss_sem_focal_cls_weight", 0.0),
+        ("loss_region_embed_weight", 0.0),
+        ("loss_predicted_region_embed_l1_weight", 0.0),
+        ("loss_predicted_region_embed_l1_only_last_layer_weight", 0.0),
+        ("loss_predicted_region_embed_cos_weight", 0.0),
+        ("loss_contrast_object_text", 0.0),
+        ("loss_batchwise_contrastive_weight", 0.0),
+        ("loss_image_seen_class_weight", 0.0),
+        ("loss_feat_seen_softmax_loss_weight", 0.0),
+        ("loss_feat_seen_softmax_weakly_loss_weight", 0.0),
+        ("loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight", 0.0),
+        ("loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi_weight", 0.0),
+        ("loss_feat_seen_softmax_loss_with_novel_cate_confi_weight", 0.0),
+        ("loss_feat_seen_sigmoid_with_full_image_loss_weight", 0.0),
+        ("loss_prompt_softmax_weight", 0.0),
+        ("loss_prompt_sigmoid_weight", 0.0),
+    ]:
+        parser.add_argument(f"--{name}", default=default, type=float)
+
+    ##### Dataset #####
+    parser.add_argument("--dataset_name", default="sunrgbd_anonymous_aligned_image", type=str)
+    parser.add_argument("--dataset_root_dir", type=str, default=None)
+    parser.add_argument("--meta_data_dir", type=str, default=None)
+    parser.add_argument("--asset_dir", type=str, default="datasets")
+    parser.add_argument("--calib_dir", type=str, default=None)
+    parser.add_argument("--image_dir", type=str, default=None)
+    parser.add_argument("--dataset_num_workers", default=4, type=int)
+    parser.add_argument("--dataset_num_workers_test", default=4, type=int)
+    parser.add_argument("--batchsize_per_gpu", default=8, type=int)
+    parser.add_argument("--batchsize_per_gpu_test", default=48, type=int)
+    parser.add_argument("--train_range_min", default=0, type=int)
+    parser.add_argument("--train_range_max", default=10, type=int)
+    parser.add_argument("--test_range_min", default=0, type=int)
+    parser.add_argument("--test_range_max", default=46, type=int)
+    parser.add_argument("--if_use_v1", default=False, action="store_true")
+    parser.add_argument("--if_input_image", default=False, action="store_true")
+    parser.add_argument("--if_image_augment", default=False, type=bool)
+    parser.add_argument("--image_size_width", default=730, type=int)
+    parser.add_argument("--image_size_height", default=531, type=int)
+    parser.add_argument("--num_points", default=20000, type=int)
+
+    ##### Training #####
+    parser.add_argument("--start_epoch", default=-1, type=int)
+    parser.add_argument("--set_epoch", default=-1, type=int)
+    parser.add_argument("--max_epoch", default=1080, type=int)
+    parser.add_argument("--eval_every_epoch", default=10, type=int)
+    parser.add_argument("--real_eval_every_epoch", default=90, type=int)
+    parser.add_argument("--real_cmp_eval_every_epoch", default=1000000000, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+
+    ##### Testing #####
+    parser.add_argument("--test_only", default=False, action="store_true")
+    parser.add_argument("--test_no_nms", default=False, action="store_true")
+    parser.add_argument("--use_old_type_nms", default=False, action="store_true")
+    parser.add_argument("--test_ckpt", default=None, type=str)
+    parser.add_argument("--show_only", default=False, action="store_true")
+    parser.add_argument("--save_novel_only", default=False, action="store_true")
+    parser.add_argument("--save_novel_with_class_only", default=False, action="store_true")
+    parser.add_argument("--save_seen_feat_only", default=False, action="store_true")
+    parser.add_argument("--cal_class_only", default=False, action="store_true")
+    parser.add_argument("--crop_only", default=False, action="store_true")
+
+    ##### I/O #####
+    parser.add_argument("--checkpoint_dir", default=None, type=str)
+    parser.add_argument("--checkpoint_file", default=None, type=str)
+    parser.add_argument("--log_every", default=10, type=int)
+    parser.add_argument("--log_metrics_every", default=20, type=int)
+    parser.add_argument("--save_separate_checkpoint_every_epoch", default=100, type=int)
+    parser.add_argument("--log_file", default="log.lst", type=str)
+
+    ##### Distributed (compat; SPMD needs no rendezvous) #####
+    parser.add_argument("--ngpus", default=1, type=int)
+    parser.add_argument("--dist_url", default="tcp://localhost:12345", type=str)
+
+    return parser
+
+
+def build_everything(args):
+    """dataset -> model -> criterion -> optimizer, like reference main():
+    returns a dict of live objects."""
+    import jax
+
+    from coda_neurips2023_tpu.criterion import build_criterion
+    from coda_neurips2023_tpu.datasets import build_dataset
+    from coda_neurips2023_tpu.models import build_model
+    from coda_neurips2023_tpu.optimizer import build_optimizer
+    from coda_neurips2023_tpu.parallel.mesh import make_mesh
+
+    datasets, dataset_config, real_test_config, real_cmp_config = build_dataset(args)
+    model, box_processor = build_model(args, dataset_config)
+    criterion = build_criterion(args, dataset_config)
+    n_train = max(len(datasets["train"]), 1)
+    iters_per_epoch = max(n_train // (args.batchsize_per_gpu * max(args.ngpus, 1)), 1)
+    tx, schedule = build_optimizer(args, None, iters_per_epoch)
+    mesh = make_mesh(min(args.ngpus, len(jax.devices())))
+    return {
+        "datasets": datasets,
+        "dataset_config": dataset_config,
+        "real_test_config": real_test_config,
+        "real_cmp_config": real_cmp_config,
+        "model": model,
+        "criterion": criterion,
+        "tx": tx,
+        "schedule": schedule,
+        "mesh": mesh,
+        "iters_per_epoch": iters_per_epoch,
+    }
+
+
+def do_train(args, ctx):
+    """Reference do_train (main.py:307-623): epoch loop, eval cadence,
+    checkpoint cadence, periodic epoch reset for stage 2, final eval."""
+    import jax
+
+    from coda_neurips2023_tpu.datasets.loader import make_loader
+    from coda_neurips2023_tpu.engine import (
+        create_train_state,
+        evaluate,
+        make_eval_step,
+        make_train_step,
+        train_one_epoch,
+    )
+    from coda_neurips2023_tpu.utils.io import resume_if_possible, restore_params_only, save_checkpoint
+    from coda_neurips2023_tpu.utils.logger import Logger
+
+    model, criterion, tx, mesh = ctx["model"], ctx["criterion"], ctx["tx"], ctx["mesh"]
+    datasets = ctx["datasets"]
+    logger = Logger(args.checkpoint_dir)
+    rng = jax.random.PRNGKey(args.seed)
+
+    global_bs = args.batchsize_per_gpu * mesh.devices.size
+    train_loader = make_loader(
+        datasets["train"], global_bs, shuffle=True, seed=args.seed, drop_last=True
+    )
+    sample_batch = next(iter(train_loader))
+    state = create_train_state(model, tx, rng, sample_batch)
+    start_epoch = -1
+    if args.checkpoint_dir:
+        start_epoch, best_metrics, state = resume_if_possible(args.checkpoint_dir, state)
+    if args.checkpoint_file:
+        state = restore_params_only(args.checkpoint_file, state)
+    if args.set_epoch >= 0:
+        start_epoch = args.set_epoch - 1
+    start_epoch += 1
+
+    train_step = make_train_step(model, criterion, tx)
+    eval_step = make_eval_step(model)
+    best_ap25 = -1.0
+
+    for epoch in range(start_epoch, args.max_epoch):
+        effective_epoch = epoch
+        if args.if_reset_epoch_periodically and args.reset_epoch_periodically > 0:
+            effective_epoch = epoch % args.reset_epoch_periodically
+
+        state, metrics = train_one_epoch(
+            train_step, state, train_loader, rng, mesh=mesh, logger=logger,
+            curr_epoch=effective_epoch, log_every=args.log_every,
+        )
+        if logger is not None and metrics:
+            logger.log_scalars(
+                {k: float(v) for k, v in metrics.items()}, epoch, prefix="Train/"
+            )
+
+        if args.checkpoint_dir:
+            save_checkpoint(args.checkpoint_dir, state, epoch)
+            if (
+                args.save_separate_checkpoint_every_epoch > 0
+                and epoch % args.save_separate_checkpoint_every_epoch == 0
+            ):
+                save_checkpoint(
+                    args.checkpoint_dir, state, epoch, filename=f"checkpoint_{epoch:04d}"
+                )
+
+        if (epoch + 1) % args.real_eval_every_epoch == 0 and len(datasets["real_test"]):
+            test_loader = make_loader(
+                datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False
+            )
+            ap = evaluate(
+                eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
+                dataset_name=args.dataset_name,
+            )
+            m = ap.compute_metrics()
+            print(ap.metrics_to_str(m, per_class=False))
+            ap25 = m[0.25].get("mAP", 0.0)
+            logger.log_scalars({"mAP25": ap25}, epoch, prefix="Test/")
+            if ap25 > best_ap25 and args.checkpoint_dir:
+                best_ap25 = ap25
+                save_checkpoint(
+                    args.checkpoint_dir, state, epoch, {"ap25": ap25}, "checkpoint_best"
+                )
+
+    if args.checkpoint_dir:
+        save_checkpoint(args.checkpoint_dir, state, args.max_epoch - 1, filename="last_checkpoint")
+    return state
+
+
+def test_model(args, ctx):
+    """Reference test_model (main.py:903-961)."""
+    import jax
+
+    from coda_neurips2023_tpu.datasets.loader import make_loader
+    from coda_neurips2023_tpu.engine import create_train_state, evaluate, make_eval_step
+    from coda_neurips2023_tpu.utils.io import restore_params_only
+
+    model, tx, mesh = ctx["model"], ctx["tx"], ctx["mesh"]
+    datasets = ctx["datasets"]
+    loader = make_loader(datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False)
+    sample = next(iter(loader))
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample)
+    if args.test_ckpt:
+        state = restore_params_only(args.test_ckpt, state)
+    eval_step = make_eval_step(model)
+    ap = evaluate(
+        eval_step, state, loader, ctx["real_test_config"], mesh=mesh,
+        dataset_name=args.dataset_name,
+    )
+    metrics = ap.compute_metrics()
+    msg = ap.metrics_to_str(metrics)
+    print(msg)
+    if args.log_file:
+        with open(args.log_file, "a") as f:
+            f.write(msg + "\n")
+    return metrics
+
+
+def main(args=None):
+    parser = make_args_parser()
+    args = parser.parse_args(args)
+    ctx = build_everything(args)
+    if args.test_only:
+        return test_model(args, ctx)
+    return do_train(args, ctx)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,24 +74,38 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, out_ref):
     out_ref[:, :] = out_vec  # column 0 stays 0 (seed index)
 
 
+def _batch_block(n_pad: int) -> int:
+    """Largest multiple-of-8 row block keeping ~6 (BB, n_pad) f32 arrays
+    (3 coordinate planes + running min-distance + distance/candidate
+    temporaries) within a conservative VMEM budget."""
+    budget = 10 * 1024 * 1024
+    bb = budget // (n_pad * 4 * 6)
+    return max(8, (bb // 8) * 8)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     """xyz: (B, N, 3) -> (B, npoint) int32 indices."""
     b, n, _ = xyz.shape
     n_pad = _round_up(n, 128)
     m_pad = _round_up(npoint, 128)
+    bb = min(_batch_block(n_pad), _round_up(b, 8))
+    b_pad = _round_up(b, bb)
     xyz_f = xyz.astype(jnp.float32)
     planes = []
     for d in range(3):
         p = xyz_f[:, :, d]
-        if n_pad != n:
-            p = jnp.pad(p, ((0, 0), (0, n_pad - n)))  # zero pad == self-masking
+        p = jnp.pad(p, ((0, b_pad - b), (0, n_pad - n)))  # zero pad == self-masking
         planes.append(p)
 
     out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint),
-        out_shape=jax.ShapeDtypeStruct((b, m_pad), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.int32),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 3,
+        out_specs=pl.BlockSpec((bb, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(*planes)
-    return out[:, :npoint]
+    return out[:b, :npoint]

@@ -40,9 +40,21 @@ def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return sq_a + sq_b - 2.0 * cross
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def ball_query(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    use_pallas: bool | None = None,
+) -> jax.Array:
     """xyz: (B, N, 3) points, new_xyz: (B, M, 3) centers -> (B, M, nsample) int32."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from coda_neurips2023_tpu.ops.pallas_ball_query import ball_query_pallas
+
+        return ball_query_pallas(radius, nsample, xyz, new_xyz)
     n = xyz.shape[1]
     r2 = jnp.float32(radius * radius)
     iota_n = jnp.arange(n, dtype=jnp.int32)

@@ -68,12 +68,30 @@ _TARGET_KEYS = (
 )
 
 
-def make_train_step(model, criterion, tx, extra_targets_fn: Optional[Callable] = None):
-    """Returns jit(state, batch, rng) -> (state, metrics).
+_DISCOVERY_OUTPUT_KEYS = (
+    "box_corners",
+    "box_corners_xyz",
+    "center_unnormalized",
+    "size_unnormalized",
+    "angle_continuous",
+    "objectness_prob",
+)
 
-    extra_targets_fn(outputs, batch) -> dict may inject CLIP-dependent
+
+def make_train_step(
+    model,
+    criterion,
+    tx,
+    extra_targets_fn: Optional[Callable] = None,
+    return_last_outputs: bool = False,
+):
+    """Returns jit(state, batch, rng) -> (state, metrics[, last_outputs]).
+
+    extra_targets_fn(outputs, batch, rng) -> dict may inject CLIP-dependent
     targets (text banks, distillation embeddings) into the criterion; stage-1
     and stage-2 paths use it (model_3detr.py get_predicted_box_clip_embedding*).
+    With return_last_outputs, the jit also emits the last decoder layer's box
+    quantities (stop-gradient) for the stage-2 discovery pass.
     """
 
     def loss_fn(params, batch_stats, constants, batch, rng):
@@ -87,14 +105,19 @@ def make_train_step(model, criterion, tx, extra_targets_fn: Optional[Callable] =
         )
         targets = {k: batch[k] for k in _TARGET_KEYS if k in batch}
         if extra_targets_fn is not None:
-            targets.update(extra_targets_fn(outputs, batch))
+            targets.update(extra_targets_fn(outputs, batch, rng))
         loss, loss_dict = criterion(outputs, targets)
-        return loss, (loss_dict, mutated["batch_stats"])
+        last = {}
+        if return_last_outputs:
+            last = {
+                k: jax.lax.stop_gradient(outputs[k][-1]) for k in _DISCOVERY_OUTPUT_KEYS
+            }
+        return loss, (loss_dict, mutated["batch_stats"], last)
 
     @jax.jit
     def train_step(state: TrainState, batch: dict, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+        (loss, (loss_dict, new_stats, last)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, state.constants, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -106,6 +129,8 @@ def make_train_step(model, criterion, tx, extra_targets_fn: Optional[Callable] =
             opt_state=new_opt,
         )
         metrics = {"loss": loss, **loss_dict}
+        if return_last_outputs:
+            return new_state, metrics, last
         return new_state, metrics
 
     return train_step

@@ -1,0 +1,178 @@
+"""Stage wiring: CLIP towers, text banks, distillation targets, discovery.
+
+Glue between the flag surface and the jitted pipelines, mirroring what the
+reference model ctor + forward do implicitly (model_3detr.py:147-520,
+1767-1833):
+  * stage 1 (coda_*_stage1.sh): loss_predicted_region_embed_l1 active ->
+    the train step computes CLIP crop embeddings of predicted boxes
+    (models/distillation.py) as criterion targets;
+  * stage 2 (coda_*_stage2.sh): additionally the weakly-supervised
+    classification loss (weak labels from CLIP) and, on save epochs, the
+    novel-box discovery pass + pseudo-label writer (models/discovery.py).
+
+Without a CLIP checkpoint on disk the towers fall back to a deterministic
+random-weight CLIP (everything runs, numbers are meaningless) -- a loud
+warning is printed once.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coda_neurips2023_tpu.models.clip import CLIP, convert_openai_checkpoint
+from coda_neurips2023_tpu.models.discovery import discover_novel_boxes, write_pseudo_labels
+from coda_neurips2023_tpu.models.distillation import build_clip_distillation_targets
+from coda_neurips2023_tpu.models.text_bank import build_text_banks
+
+
+class StageContext:
+    def __init__(self, args, dataset_config):
+        self.args = args
+        self.clip_model = CLIP()
+        self.clip_variables = None
+        self.logit_scale = 100.0
+        path = getattr(args, "clip_model_path", None)
+        if path and os.path.exists(path):
+            params = convert_openai_checkpoint(path)
+            self.clip_variables = {"params": params}
+            self.logit_scale = float(np.clip(np.exp(params["logit_scale"]), None, 100.0))
+        else:
+            print(
+                "WARNING: CLIP checkpoint not found at %r -- using random CLIP "
+                "weights (pipeline-validation mode only)" % (path,)
+            )
+            toks = jnp.zeros((1, 77), jnp.int32)
+            imgs = jnp.zeros((1, 224, 224, 3), jnp.float32)
+            self.clip_variables = self.clip_model.init(
+                jax.random.PRNGKey(0), imgs, toks
+            )
+
+        banks = build_text_banks(
+            dataset_config,
+            train_range_max=args.train_range_max,
+            test_range_max=args.test_range_max,
+            if_clip_more_prompts=args.if_clip_more_prompts,
+            clip_model=self.clip_model,
+            clip_variables=self.clip_variables,
+            bpe_path=getattr(args, "clip_bpe_path", None),
+        )
+        self.text_banks = {k: jnp.asarray(v) for k, v in banks.items()}
+
+        # frozen CLIP image tower as a pure function (closed over weights)
+        variables = self.clip_variables
+        model = self.clip_model
+
+        def clip_image_fn(images):
+            return jax.lax.stop_gradient(
+                model.apply(variables, images, method=model.encode_image)
+            )
+
+        self.clip_image_fn = clip_image_fn
+
+    # ------------------------------------------------------------ train glue
+
+    @property
+    def train_text_features(self):
+        """Bank the criterion classifies against (superset when
+        --if_clip_superset, model_3detr.py:1786-1791)."""
+        if self.args.if_clip_superset:
+            return self.text_banks["superset"]
+        return self.text_banks["train"]
+
+    def needs_distillation(self) -> bool:
+        a = self.args
+        return (
+            a.loss_predicted_region_embed_l1_weight > 1e-32
+            or a.loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight > 1e-32
+            or a.loss_contrast_object_text > 1e-32
+        )
+
+    def extra_targets_fn(self):
+        """(outputs, batch, rng) -> criterion targets, run INSIDE the jitted
+        train step (like the reference forward)."""
+        if not self.needs_distillation():
+            return None
+        args = self.args
+        text = self.train_text_features
+        scale = jnp.float32(self.logit_scale)
+        clip_fn = self.clip_image_fn
+        n_boxes = args.distillation_box_num
+        weak = args.if_clip_weak_labels
+
+        def fn(outputs, batch, rng):
+            if "input_image" not in batch:
+                return {}
+            last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
+            targets = build_clip_distillation_targets(
+                jax.random.fold_in(rng, 7),
+                last,
+                batch,
+                clip_fn,
+                text_features=text,
+                logit_scale=scale,
+                distillation_box_num=n_boxes,
+                if_clip_weak_labels=weak,
+            )
+            targets["text_features_clip"] = text
+            targets["logit_scale"] = scale
+            return targets
+
+        return fn
+
+    # -------------------------------------------------------- discovery glue
+
+    def is_save_epoch(self, curr_epoch: int) -> bool:
+        a = self.args
+        return (
+            a.online_nms_update_save_novel_label_clip_driven_with_cate_confidence
+            and a.online_nms_update_save_epoch > 0
+            and curr_epoch % a.online_nms_update_save_epoch == 0
+        )
+
+    def discovery_fn(self):
+        args = self.args
+        superset = (
+            self.text_banks["superset"]
+            if args.if_clip_superset
+            else self.text_banks["test"]
+        )
+        scale = jnp.float32(self.logit_scale)
+        clip_fn = self.clip_image_fn
+
+        @jax.jit
+        def fn(last_outputs, batch):
+            return discover_novel_boxes(
+                last_outputs,
+                batch,
+                clip_fn,
+                superset,
+                scale,
+                train_range_max=args.train_range_max,
+                save_objectness=args.save_objectness,
+                clip_driven_keep_thres=args.clip_driven_keep_thres,
+            )
+
+        return fn
+
+    def run_discovery_and_write(self, discovery, last_outputs, batch):
+        """Host-side: jitted discovery + per-scan np.save
+        (model_3detr.py:1506-1541)."""
+        if "input_image" not in batch or "pseudo_box_path" not in batch:
+            return 0
+        out = discovery(last_outputs, {k: v for k, v in batch.items() if not isinstance(v, list)})
+        info = np.asarray(out["save_box_info"])
+        mask = np.asarray(out["novel_mask"])
+        write_pseudo_labels(
+            info,
+            mask,
+            batch["pseudo_box_path"],
+            np.asarray(batch["gt_ori_box_num"]),
+            accumulate=self.args.if_accumulate_former_pseudo_labels,
+        )
+        return int(mask.sum())

@@ -1,4 +1,4 @@
-"""Checkpoint save / resume (orbax).
+"""Checkpoint save / resume (orbax + JSON sidecar).
 
 Reference contract (/root/reference/utils/io.py:8-72 + main.py:423-460,
 485-498, 568-603):
@@ -10,14 +10,17 @@ Reference contract (/root/reference/utils/io.py:8-72 + main.py:423-460,
     restore here uses the target-tree structure, and `restore_params_only`
     gives the same "weights only" escape hatch.
 
+The TrainState pytree goes through orbax; {epoch, best_val_metrics} live in
+a `meta.json` sidecar (the reference keeps them in the torch pickle).
 Pseudo-label state intentionally lives OUTSIDE the checkpoint in per-scan
 files, matching the reference (SURVEY.md section 5).
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np
@@ -35,21 +38,32 @@ def save_checkpoint(
     best_val_metrics: Optional[dict] = None,
     filename: str = "checkpoint",
 ):
-    """Rank-0 save of {state, epoch, best_val_metrics}."""
+    """Rank-0 save of state (+ epoch / best metrics sidecar)."""
     if jax.process_index() != 0:
         return
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = _ckpt_dir(checkpoint_dir, filename)
     ckptr = ocp.StandardCheckpointer()
-    payload = {
-        "state": jax.device_get(state),
-        "meta": {
-            "epoch": np.int64(epoch),
-            "best_val_metrics": best_val_metrics or {},
-        },
-    }
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump(
+            {
+                "epoch": int(epoch),
+                "best_val_metrics": {
+                    k: float(v) for k, v in (best_val_metrics or {}).items()
+                },
+            },
+            f,
+        )
+
+
+def _load_meta(path: str):
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {"epoch": 0, "best_val_metrics": {}}
 
 
 def resume_if_possible(checkpoint_dir: str, state, filename: str = "checkpoint"):
@@ -59,26 +73,18 @@ def resume_if_possible(checkpoint_dir: str, state, filename: str = "checkpoint")
     if not checkpoint_dir or not os.path.isdir(path):
         return -1, {}, state
     ckptr = ocp.StandardCheckpointer()
-    target = {
-        "state": jax.device_get(state),
-        "meta": {"epoch": np.int64(0), "best_val_metrics": {}},
-    }
-    restored = ckptr.restore(path, target)
-    epoch = int(restored["meta"]["epoch"])
-    best = restored["meta"]["best_val_metrics"]
-    return epoch, best, restored["state"]
+    restored = ckptr.restore(path, jax.device_get(state))
+    meta = _load_meta(path)
+    return int(meta["epoch"]), meta["best_val_metrics"], restored
 
 
 def restore_params_only(checkpoint_path: str, state):
     """Weights-only restore (the reference's strict=False fallback +
     `--test_ckpt` load path, io.py:60-68 / main.py:908-909)."""
     ckptr = ocp.StandardCheckpointer()
-    target = {
-        "state": jax.device_get(state),
-        "meta": {"epoch": np.int64(0), "best_val_metrics": {}},
-    }
-    restored = ckptr.restore(os.path.abspath(checkpoint_path), target)
-    st = restored["state"]
+    restored = ckptr.restore(os.path.abspath(checkpoint_path), jax.device_get(state))
     return state.replace(
-        params=st.params, batch_stats=st.batch_stats, constants=st.constants
+        params=restored.params,
+        batch_stats=restored.batch_stats,
+        constants=restored.constants,
     )

@@ -39,6 +39,8 @@ class SyntheticDetectionDataset:
         max_boxes_per_scene: int = 12,
         seed: int = 0,
         use_angles: bool = True,
+        with_images: bool = False,
+        image_hw: tuple = (64, 96),
     ):
         self.dataset_config = dataset_config
         self.num_scenes = num_scenes
@@ -46,6 +48,8 @@ class SyntheticDetectionDataset:
         self.max_boxes = max_boxes_per_scene
         self.seed = seed
         self.use_angles = use_angles and dataset_config.num_angle_bin > 1
+        self.with_images = with_images
+        self.image_hw = image_hw
 
     def __len__(self):
         return self.num_scenes
@@ -117,7 +121,7 @@ class SyntheticDetectionDataset:
             * present[:, None, None]
         )
 
-        return {
+        sample = {
             "point_clouds": pc.astype(np.float32),
             "point_cloud_dims_min": pc_min.astype(np.float32),
             "point_cloud_dims_max": pc_max.astype(np.float32),
@@ -136,10 +140,38 @@ class SyntheticDetectionDataset:
             "gt_box_seen_sem_cls_confi": present.astype(np.float32),
             "scan_idx": np.int64(idx),
         }
+        if self.with_images:
+            h, w = self.image_hw
+            f = 0.8 * max(h, w)
+            sample.update(
+                {
+                    "input_image": rng.integers(0, 255, (h, w, 3)).astype(np.uint8),
+                    "K": np.array(
+                        [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32
+                    ),
+                    "Rtilt": np.eye(3, dtype=np.float32),
+                    "ori_width": np.float32(w),
+                    "ori_height": np.float32(h),
+                    "x_offset": np.float32(0),
+                    "y_offset": np.float32(0),
+                    "flip_array": np.float32(1),
+                    "scale_array": np.ones(3, np.float32),
+                    "rot_array": np.eye(3, dtype=np.float32),
+                    "rot_angle": np.float32(0),
+                    "image_flip_array": np.float32(1),
+                    "flip_length": np.float32(w),
+                    "im_name": f"synthetic_{idx:06d}.jpg",
+                    "pseudo_box_path": "_",
+                    "gt_ori_box_num": np.int64(nbox),
+                }
+            )
+        return sample
 
 
 def collate(samples: list) -> dict:
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    from coda_neurips2023_tpu.datasets.loader import collate as _collate
+
+    return _collate(samples)
 
 
 def make_batches(dataset, batch_size: int, drop_last: bool = True):

@@ -136,12 +136,20 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, eval_text_features=None, eval_logit_scale: float = 100.0):
+def make_eval_step(
+    model,
+    eval_text_features=None,
+    eval_logit_scale: float = 100.0,
+    clip_crop_fn: Optional[Callable] = None,
+):
     """Returns jit(state, batch) -> outputs for the APCalculator.
 
     With `eval_text_features` (ncls, 512), classification goes through the
     distillation head's text-correlation path (reference get_class_scores,
-    model_3detr.py:1742-1764) -- no CLIP forward at eval.
+    model_3detr.py:1742-1764) -- no CLIP forward at eval.  With
+    `clip_crop_fn(outputs_last, batch)` instead, predicted boxes are cropped
+    and CLIP-zero-shot classified (the baseline head's --if_with_clip eval,
+    clip_to_class_training, model_3detr.py:557-900).
     """
 
     @jax.jit
@@ -153,7 +161,9 @@ def make_eval_step(model, eval_text_features=None, eval_logit_scale: float = 100
         }
         outputs = model.apply(variables, batch, train=False)
         last = {k: v[-1] for k, v in outputs.items() if k not in ("query_xyz", "enc_xyz", "enc_inds")}
-        if eval_text_features is not None:
+        if clip_crop_fn is not None:
+            last["sem_cls_prob"] = clip_crop_fn(last, batch)
+        elif eval_text_features is not None:
             last["sem_cls_prob"] = get_class_scores(
                 last["text_correlation_embedding"],
                 eval_text_features,
@@ -180,16 +190,27 @@ def train_one_epoch(
     logger=None,
     curr_epoch: int = 0,
     log_every: int = 10,
+    discovery_fn: Optional[Callable] = None,
 ):
-    """Python epoch loop (reference train_one_epoch, engine.py:58-377)."""
+    """Python epoch loop (reference train_one_epoch, engine.py:58-377).
+    With discovery_fn (stage-2 save epochs), the step returns the last
+    decoder layer's outputs and discovery_fn(last_outputs, host_batch) mines +
+    writes pseudo labels."""
     iter_time = SmoothedValue(window_size=10)
     loss_avg = SmoothedValue(window_size=10)
     metrics_out = {}
-    for it, batch in enumerate(batches):
+    for it, host_batch in enumerate(batches):
         t0 = time.perf_counter()
+        batch = {k: v for k, v in host_batch.items() if not isinstance(v, list)}
         if mesh is not None:
             batch = shard_batch(mesh, batch)
-        state, metrics = train_step(state, batch, rng)
+        result = train_step(state, batch, rng)
+        if len(result) == 3:
+            state, metrics, last_outputs = result
+            if discovery_fn is not None:
+                discovery_fn(last_outputs, host_batch)
+        else:
+            state, metrics = result
         loss = float(metrics["loss"])
         if not np.isfinite(loss):
             print("Loss in not finite. Training will be stopped.")
@@ -226,7 +247,9 @@ def evaluate(
         dataset_name=dataset_name,
     )
     for batch in batches:
-        device_batch = shard_batch(mesh, batch) if mesh is not None else batch
+        device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if mesh is not None:
+            device_batch = shard_batch(mesh, device_batch)
         outputs = jax.device_get(eval_step(state, device_batch))
         ap.step_meter({"outputs": outputs}, batch)
     return ap

@@ -225,7 +225,13 @@ def build_everything(args):
     iters_per_epoch = max(n_train // (args.batchsize_per_gpu * max(args.ngpus, 1)), 1)
     tx, schedule = build_optimizer(args, None, iters_per_epoch)
     mesh = make_mesh(min(args.ngpus, len(jax.devices())))
+    stage_ctx = None
+    if args.model_name == "3detr_predictedbox_distillation" or args.if_with_clip:
+        from coda_neurips2023_tpu.stages import StageContext
+
+        stage_ctx = StageContext(args, real_test_config)
     return {
+        "stage_ctx": stage_ctx,
         "datasets": datasets,
         "dataset_config": dataset_config,
         "real_test_config": real_test_config,
@@ -275,8 +281,28 @@ def do_train(args, ctx):
         start_epoch = args.set_epoch - 1
     start_epoch += 1
 
-    train_step = make_train_step(model, criterion, tx)
-    eval_step = make_eval_step(model)
+    # CLIP / open-vocab stage wiring (stage 1: distillation targets inside the
+    # train step; stage 2: + weak labels + discovery on save epochs)
+    stage_ctx = ctx.get("stage_ctx")
+    extra_targets_fn = stage_ctx.extra_targets_fn() if stage_ctx else None
+    run_discovery = (
+        stage_ctx is not None
+        and args.online_nms_update_save_novel_label_clip_driven_with_cate_confidence
+    )
+    train_step = make_train_step(
+        model, criterion, tx, extra_targets_fn=extra_targets_fn,
+        return_last_outputs=run_discovery,
+    )
+    discovery = stage_ctx.discovery_fn() if run_discovery else None
+    eval_text = stage_ctx.text_banks["test"] if stage_ctx else None
+    eval_step = make_eval_step(
+        model,
+        eval_text_features=eval_text,
+        eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+        clip_crop_fn=(
+            stage_ctx.eval_clip_crop_fn() if (stage_ctx and args.if_with_clip) else None
+        ),
+    )
     best_ap25 = -1.0
 
     for epoch in range(start_epoch, args.max_epoch):
@@ -287,6 +313,11 @@ def do_train(args, ctx):
         state, metrics = train_one_epoch(
             train_step, state, train_loader, rng, mesh=mesh, logger=logger,
             curr_epoch=effective_epoch, log_every=args.log_every,
+            discovery_fn=(
+                (lambda last, batch: stage_ctx.run_discovery_and_write(discovery, last, batch))
+                if run_discovery and stage_ctx.is_save_epoch(effective_epoch)
+                else None
+            ),
         )
         if logger is not None and metrics:
             logger.log_scalars(
@@ -341,7 +372,15 @@ def test_model(args, ctx):
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample)
     if args.test_ckpt:
         state = restore_params_only(args.test_ckpt, state)
-    eval_step = make_eval_step(model)
+    stage_ctx = ctx.get("stage_ctx")
+    eval_step = make_eval_step(
+        model,
+        eval_text_features=stage_ctx.text_banks["test"] if stage_ctx else None,
+        eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+        clip_crop_fn=(
+            stage_ctx.eval_clip_crop_fn() if (stage_ctx and args.if_with_clip) else None
+        ),
+    )
     ap = evaluate(
         eval_step, state, loader, ctx["real_test_config"], mesh=mesh,
         dataset_name=args.dataset_name,

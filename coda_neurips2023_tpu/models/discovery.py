@@ -111,6 +111,7 @@ def discover_novel_boxes(
       save_box_info (B, nq, 10), novel_mask (B, nq) bool."""
     corners_xyz = jax.lax.stop_gradient(outputs_last["box_corners_xyz"])
     b, nq = corners_xyz.shape[:2]
+    max_discovery_crops = min(max_discovery_crops, nq)
     objectness = jax.lax.stop_gradient(outputs_last["objectness_prob"])
     size_unnorm = jax.lax.stop_gradient(outputs_last["size_unnormalized"])
 

@@ -88,6 +88,67 @@ def preprocess_crops(crops):
     return (crops - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
 
 
+def clip_crop_scores(
+    outputs_last: dict,
+    batch: dict,
+    clip_apply_fn,
+    text_features: jnp.ndarray,
+    logit_scale,
+    crop_size: int = 224,
+):
+    """Eval-time CLIP zero-shot classification of ALL predicted boxes
+    (reference clip_to_class_training, model_3detr.py:557-900: used by the
+    baseline 3detrmulticlasshead with --if_with_clip).
+
+    Returns sem_cls_prob (B, nq, ncls); invalid boxes (zero size, degenerate
+    rect, behind camera) keep zero scores like the reference's zero-init.
+    Batch rows are processed under lax.map so the (nq, S, S, 3) crop tensor
+    exists for one sample at a time (the reference loops samples too).
+    """
+    corners_xyz = outputs_last["box_corners_xyz"]
+    size_unnorm = outputs_last["size_unnormalized"]
+    b, nq = corners_xyz.shape[:2]
+
+    un_corners = unaugment_corners(
+        corners_xyz,
+        batch.get("scale_array", jnp.ones((b, 3))),
+        batch.get("rot_array", jnp.tile(jnp.eye(3)[None], (b, 1, 1))),
+        batch.get("flip_array", jnp.ones((b,))),
+        batch.get("zx_flip_array"),
+    )
+    rects, min_depth = corners_to_image_rects(
+        un_corners,
+        batch["K"],
+        batch["Rtilt"],
+        batch["ori_width"],
+        batch["ori_height"],
+        batch["x_offset"],
+        batch["y_offset"],
+        batch.get("image_flip_array", jnp.ones((b,))),
+        batch.get("flip_length", batch["ori_width"]),
+    )
+    valid = (
+        (jnp.max(size_unnorm, axis=-1) >= 1e-16)
+        & (rects[..., 2] - rects[..., 0] > 0)
+        & (rects[..., 3] - rects[..., 1] > 0)
+        & (min_depth >= 0)
+    )
+
+    text = text_features.astype(jnp.float32)
+
+    def per_sample(args):
+        img, rcts, val = args
+        crops = jax.vmap(lambda r: crop_square_resize_white(img, r, crop_size))(rcts)
+        emb = clip_apply_fn(preprocess_crops(crops))
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+        logits = jnp.einsum("qc,kc->qk", emb.astype(jnp.float32), text) * logit_scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        return probs * val[:, None]
+
+    images = batch["input_image"].astype(jnp.float32)
+    return jax.lax.map(per_sample, (images, rects, valid))
+
+
 def build_clip_distillation_targets(
     rng,
     outputs: dict,

@@ -39,7 +39,9 @@ def encode_names(names, clip_model=None, clip_variables=None, bpe_path=None, bat
 
     from coda_neurips2023_tpu.models.tokenizer import tokenize
 
-    toks = tokenize([prompt(n) for n in names], bpe_path=bpe_path)
+    ctx_len = getattr(clip_model, "context_length", 77)
+    toks = tokenize([prompt(n) for n in names], context_length=ctx_len, bpe_path=bpe_path)
+    toks = np.minimum(toks, clip_model.vocab_size - 1)
     outs = []
     for i in range(0, len(names), batch):
         t = jnp.asarray(toks[i : i + batch])

@@ -32,9 +32,11 @@ from coda_neurips2023_tpu.models.text_bank import build_text_banks
 
 
 class StageContext:
-    def __init__(self, args, dataset_config):
+    def __init__(self, args, dataset_config, clip_model: Optional[CLIP] = None,
+                 crop_size: int = 224):
         self.args = args
-        self.clip_model = CLIP()
+        self.crop_size = crop_size
+        self.clip_model = clip_model if clip_model is not None else CLIP()
         self.clip_variables = None
         self.logit_scale = 100.0
         path = getattr(args, "clip_model_path", None)
@@ -47,8 +49,8 @@ class StageContext:
                 "WARNING: CLIP checkpoint not found at %r -- using random CLIP "
                 "weights (pipeline-validation mode only)" % (path,)
             )
-            toks = jnp.zeros((1, 77), jnp.int32)
-            imgs = jnp.zeros((1, 224, 224, 3), jnp.float32)
+            toks = jnp.zeros((1, self.clip_model.context_length), jnp.int32)
+            imgs = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
             self.clip_variables = self.clip_model.init(
                 jax.random.PRNGKey(0), imgs, toks
             )
@@ -118,10 +120,26 @@ class StageContext:
                 logit_scale=scale,
                 distillation_box_num=n_boxes,
                 if_clip_weak_labels=weak,
+                crop_size=self.crop_size,
             )
             targets["text_features_clip"] = text
             targets["logit_scale"] = scale
             return targets
+
+        return fn
+
+    def eval_clip_crop_fn(self, bank: str = "test"):
+        """Baseline-head eval classifier (--if_with_clip): crop every
+        predicted box and zero-shot classify against the text bank."""
+        from coda_neurips2023_tpu.models.distillation import clip_crop_scores
+
+        text = self.text_banks[bank]
+        scale = jnp.float32(self.logit_scale)
+        clip_fn = self.clip_image_fn
+        crop = self.crop_size
+
+        def fn(outputs_last, batch):
+            return clip_crop_scores(outputs_last, batch, clip_fn, text, scale, crop)
 
         return fn
 
@@ -156,6 +174,7 @@ class StageContext:
                 train_range_max=args.train_range_max,
                 save_objectness=args.save_objectness,
                 clip_driven_keep_thres=args.clip_driven_keep_thres,
+                crop_size=self.crop_size,
             )
 
         return fn

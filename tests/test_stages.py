@@ -1,0 +1,141 @@
+"""Stage-1/stage-2 training integration on the virtual CPU mesh (tiny CLIP)."""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+from coda_neurips2023_tpu.criterion import build_criterion
+from coda_neurips2023_tpu.datasets.config import SunrgbdAnonymousConfig, SunrgbdImageConfig
+from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset, collate
+from coda_neurips2023_tpu.engine import create_train_state, make_train_step
+from coda_neurips2023_tpu.models.clip import CLIP
+from coda_neurips2023_tpu.models.model_3detr import CoDA3DETR
+from coda_neurips2023_tpu.optimizer import build_optimizer
+from coda_neurips2023_tpu.stages import StageContext
+
+
+def stage_args(**over):
+    base = dict(
+        base_lr=5e-4, warm_lr=1e-6, warm_lr_epochs=2, final_lr=1e-6,
+        lr_scheduler="cosine", weight_decay=0.1, filter_biases_wd=False,
+        clip_gradient=0.1, max_epoch=4,
+        matcher_cls_cost=1, matcher_giou_cost=3, matcher_center_cost=5,
+        matcher_objectness_cost=5,
+        loss_giou_weight=0.0,
+        loss_sem_cls_softmax_weight=0.0,
+        loss_sem_cls_softmax_skip_none_gt_sample_weight=1.0,
+        loss_no_object_weight=0.05, loss_no_object_contrast_weight=0.05,
+        loss_angle_cls_weight=0.1, loss_angle_reg_weight=0.5,
+        loss_center_weight=5.0, loss_size_weight=1.0,
+        loss_predicted_region_embed_l1_weight=1.0,
+        loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight=0.0,
+        loss_contrast_object_text=0.0,
+        train_range_max=10, test_range_max=46,
+        confidence_type="non-confidence",
+        if_clip_more_prompts=True, if_clip_superset=False,
+        if_clip_weak_labels=False, distillation_box_num=4,
+        clip_model_path=None, clip_bpe_path=None,
+        online_nms_update_save_novel_label_clip_driven_with_cate_confidence=False,
+        online_nms_update_save_epoch=50,
+        save_objectness=0.3, clip_driven_keep_thres=0.3,
+        if_accumulate_former_pseudo_labels=False,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+def tiny_clip():
+    return CLIP(
+        embed_dim=512,  # head dim must match the text_correlation_head (512)
+        image_resolution=16,
+        vision_patch_size=8,
+        vision_width=64,
+        vision_layers=1,
+        text_width=32,
+        text_layers=1,
+        text_heads=2,
+        context_length=8,
+        vocab_size=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def stage1_setup():
+    cfg = SunrgbdAnonymousConfig()
+    eval_cfg = SunrgbdImageConfig()
+    model = CoDA3DETR(
+        dataset_config=cfg, enc_dim=32, dec_dim=64, enc_nlayers=2, dec_nlayers=2,
+        enc_ffn_dim=32, dec_ffn_dim=32, preenc_npoints=64, nqueries=16,
+    )
+    ds = SyntheticDetectionDataset(cfg, num_scenes=4, num_points=256, with_images=True)
+    batch = collate([ds[i] for i in range(2)])
+    batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    return cfg, eval_cfg, model, batch
+
+
+def test_stage1_distillation_train_step(stage1_setup):
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args()
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    criterion = build_criterion(_crit_args(args), cfg)
+    tx, _ = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, criterion, tx, extra_targets_fn=ctx.extra_targets_fn())
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert "loss_predicted_region_embed_l1" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss_predicted_region_embed_l1"]) >= 0
+
+
+def test_stage2_weakly_loss_and_discovery(stage1_setup, tmp_path):
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args(
+        loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight=1.0,
+        if_clip_weak_labels=True,
+        online_nms_update_save_novel_label_clip_driven_with_cate_confidence=True,
+        clip_driven_keep_thres=0.0,  # permissive so something gets written
+        save_objectness=0.0,
+    )
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    criterion = build_criterion(_crit_args(args), cfg)
+    tx, _ = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(
+        model, criterion, tx, extra_targets_fn=ctx.extra_targets_fn(),
+        return_last_outputs=True,
+    )
+    state, metrics, last = step(state, batch, jax.random.PRNGKey(1))
+    assert "loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+    assert set(last) >= {"box_corners", "box_corners_xyz", "objectness_prob"}
+
+    # discovery + writer
+    paths = [str(tmp_path / f"{i:06d}_novel_bbox.npy") for i in range(2)]
+    host_batch = dict(batch)
+    host_batch["pseudo_box_path"] = paths
+    discovery = ctx.discovery_fn()
+    n = ctx.run_discovery_and_write(discovery, last, host_batch)
+    assert n >= 0
+    import os
+
+    for p in paths:
+        if os.path.exists(p):
+            rows = np.load(p)
+            assert rows.shape[1] == 10
+
+
+def _crit_args(args):
+    # criterion builder reads a couple of extra flag names
+    args = types.SimpleNamespace(**vars(args))
+    for name in [
+        "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight",
+        "loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness_weight",
+        "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness_weight",
+        "loss_sem_cls_softmax_discovery_novel_objectness_weight",
+    ]:
+        if not hasattr(args, name):
+            setattr(args, name, 0.0)
+    return args

@@ -49,7 +49,9 @@ def main():
     # init on a batch-1 slice (params are batch-polymorphic; eager init at the
     # full eval batch would materialize every intermediate)
     init_inputs = {k: v[:1] for k, v in inputs.items()}
-    variables = model.init(jax.random.PRNGKey(0), init_inputs, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), init_inputs
+    )
     rng = np.random.default_rng(0)
     text = rng.standard_normal((EVAL_CLASSES, 512)).astype(np.float32)
     text = jnp.asarray(text / np.linalg.norm(text, axis=1, keepdims=True))

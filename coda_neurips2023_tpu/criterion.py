@@ -50,6 +50,23 @@ def huber_loss(error, delta: float = 1.0):
     return 0.5 * quadratic ** 2 + delta * linear
 
 
+def sigmoid_focal_loss(logits, targets, alpha: float = 0.25, gamma: float = 2.0):
+    """torchvision.ops.sigmoid_focal_loss semantics, reduction='none'."""
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    return loss
+
+
+def optax_sigmoid_ce(logits, labels):
+    """Binary CE with logits (numerically stable)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
 def _cross_entropy(logits, labels, class_weights=None):
     """torch F.cross_entropy(reduction='none') semantics: w[y] * nll."""
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -117,16 +134,27 @@ class SetCriterion:
         w2[-1] = self.loss_weight_dict.pop("loss_no_object_contrast_weight", 0.2)
         self.seen_semcls_percls_weights = jnp.asarray(w2)
 
+        # registry mirrors SetCriterion.loss_functions (criterion.py:135-168);
+        # entries are weight-gated, so unused ones cost nothing.
         self.loss_functions = {
+            "loss_sem_cls": self.loss_sem_cls,
             "loss_sem_cls_softmax": self.loss_sem_cls_softmax,
             "loss_sem_cls_softmax_skip_none_gt_sample": self.loss_sem_cls_softmax_skip_none_gt_sample,
+            "loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness,
+            "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness,
+            "loss_sem_cls_softmax_discovery_novel_objectness": self.loss_sem_cls_softmax_discovery_novel_objectness,
             "loss_angle": self.loss_angle,
             "loss_center": self.loss_center,
             "loss_size": self.loss_size,
             "loss_giou": self.loss_giou,
+            "loss_region_embed": self.loss_region_embed,
             "loss_predicted_region_embed_l1": self.loss_predicted_region_embed_l1,
+            "loss_predicted_region_embed_l1_only_last_layer": self.loss_predicted_region_embed_l1,
+            "loss_predicted_region_embed_cos": self.loss_predicted_region_embed_cos,
             "loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi,
+            "loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi,
             "loss_contrast_object_text": self.loss_contrast_object_text,
+            "loss_image_seen_class": self.loss_image_seen_class,
         }
 
     # ---------------- individual losses ----------------
@@ -171,6 +199,99 @@ class SetCriterion:
         per_sample = jnp.sum(nll, axis=1) * has_obj
         cnt = jnp.sum(has_obj)
         return jnp.sum(per_sample) / (cnt * nll.shape[1] + 1e-32)
+
+    def loss_sem_cls(self, outputs, targets, assignments):
+        """Focal variant (criterion.py:388-406)."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        onehot = jax.nn.one_hot(gt_label, pred_logits.shape[-1], dtype=pred_logits.dtype)
+        return jnp.mean(sigmoid_focal_loss(pred_logits, onehot))
+
+    def loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness(
+        self, outputs, targets, assignments
+    ):
+        """criterion.py:276-330: like skip_none_gt_sample but proposals marked
+        as discovered novel objects get class 0, and scenes count as non-empty
+        when they have discoveries."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        disc = targets.get("discovery_novel")
+        if disc is not None:
+            gt_label = jnp.where(disc > 0, 0, gt_label)
+        nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)
+        n_disc = jnp.sum(disc, axis=1) if disc is not None else 0.0
+        has_obj = ((targets["nactual_gt"] + n_disc) > 0).astype(nll.dtype)
+        per_sample = jnp.sum(nll, axis=1) * has_obj
+        return jnp.sum(per_sample) / (jnp.sum(has_obj) * nll.shape[1] + 1e-32)
+
+    def loss_sem_cls_softmax_discovery_novel_objectness(self, outputs, targets, assignments):
+        """criterion.py:360-386: plain weighted-mean CE with discovered novels
+        forced to class 0."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        disc = targets.get("discovery_novel")
+        if disc is not None:
+            gt_label = jnp.where(disc > 0, 0, gt_label)
+        nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)
+        wsum = jnp.sum(self.semcls_percls_weights[gt_label])
+        return jnp.sum(nll) / jnp.maximum(wsum, 1e-32)
+
+    def loss_image_seen_class(self, outputs, targets, assignments):
+        """Image-level multi-label focal loss (criterion.py:408-430); needs a
+        per-image seen-class score head (unwired model variants)."""
+        pred = outputs.get("seen_class_scores_per_image")
+        if pred is None:
+            return jnp.float32(0.0)
+        gt = targets["gt_image_class_label"].astype(pred.dtype)
+        return jnp.mean(sigmoid_focal_loss(pred, gt))
+
+    def loss_region_embed(self, outputs, targets, assignments):
+        """Matched-pair embedding L1 (criterion.py:902-922)."""
+        gt_emb = _gather_per_prop(
+            targets["gt_text_correlation_embedding"], assignments["per_prop_gt_inds"]
+        )
+        pred = outputs["text_correlation_embedding"]
+        w = assignments["proposal_matched_mask"][..., None]
+        ave = pred.shape[0] * pred.shape[2]
+        return jnp.sum(jnp.abs(pred * w / ave - gt_emb * w / ave))
+
+    def loss_predicted_region_embed_cos(self, outputs, targets, assignments):
+        """Cosine variant of the distillation loss (criterion.py:995-1013)."""
+        gt_emb = targets["gt_text_correlation_embedding"]
+        mask = targets["gt_text_correlation_embedding_mask"]
+        pred = outputs["text_correlation_embedding"]
+        num = jnp.sum(gt_emb * pred, axis=-1)
+        den = jnp.maximum(
+            jnp.linalg.norm(gt_emb, axis=-1) * jnp.linalg.norm(pred, axis=-1), 1e-16
+        )
+        cos_loss = 1.0 - num / den
+        return jnp.sum(cos_loss * mask[..., 0]) / jnp.maximum(jnp.sum(mask), 1e-32)
+
+    def loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi(
+        self, outputs, targets, assignments
+    ):
+        """criterion.py:648-700: weak labels/confidences only (no matched
+        override)."""
+        emb = outputs["text_correlation_embedding"]
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+        text = targets["text_features_clip"].astype(jnp.float32)
+        logits = jnp.einsum("bqc,kc->bqk", emb, text) * targets["logit_scale"]
+        gt_label = targets["weak_box_cate_label"].astype(jnp.int32)
+        confi = targets["weak_confidence_weight"]
+        nll = _cross_entropy(logits, gt_label)
+        return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) + 1e-32)
 
     def loss_angle(self, outputs, targets, assignments):
         """criterion.py:834-900: CE over angle bins + huber(residual), matched
@@ -255,9 +376,9 @@ class SetCriterion:
         return jnp.sum(nll * confi) / denom
 
     def loss_contrast_object_text(self, outputs, targets, assignments):
-        """Object<->text contrastive CE over seen classes (criterion.py:431-???):
-        matched proposals classified against the seen text bank with the
-        bg-weighted seen class weights."""
+        """Object<->text contrastive CE over seen classes (criterion.py:432-452):
+        matched proposals take their seen class, unmatched take the LAST text
+        class as background; CE 'mean' with the bg-weighted seen weights."""
         emb = outputs["text_correlation_embedding"]
         emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
         text = targets["text_features_clip"].astype(jnp.float32)
@@ -268,10 +389,12 @@ class SetCriterion:
             assignments["per_prop_gt_inds"],
         )
         gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        gt_label = jnp.clip(gt_label, 0, bg)
         w = self.seen_semcls_percls_weights
-        nll = _cross_entropy(logits, jnp.clip(gt_label, 0, bg), w)
-        wsum = jnp.sum(w[jnp.clip(gt_label, 0, bg)])
-        return jnp.sum(nll) / jnp.maximum(wsum, 1e-32)
+        wsel = w[jnp.clip(gt_label, 0, w.shape[0] - 1)]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, gt_label[..., None], axis=-1)[..., 0] * wsel
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(wsel), 1e-32)
 
     # ---------------- assembly ----------------
 
@@ -384,19 +507,41 @@ def build_criterion(args, dataset_config):
         cost_center=args.matcher_center_cost,
         cost_objectness=args.matcher_objectness_cost,
     )
+    def g(name, default=0.0):
+        return getattr(args, name, default)
+
     loss_weight_dict = {
         "loss_giou_weight": args.loss_giou_weight,
+        "loss_sem_cls_weight": g("loss_sem_cls_weight"),
         "loss_sem_cls_softmax_weight": args.loss_sem_cls_softmax_weight,
         "loss_sem_cls_softmax_skip_none_gt_sample_weight": args.loss_sem_cls_softmax_skip_none_gt_sample_weight,
+        "loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness_weight": g(
+            "loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness_weight"
+        ),
+        "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness_weight": g(
+            "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness_weight"
+        ),
+        "loss_sem_cls_softmax_discovery_novel_objectness_weight": g(
+            "loss_sem_cls_softmax_discovery_novel_objectness_weight"
+        ),
         "loss_no_object_weight": args.loss_no_object_weight,
         "loss_no_object_contrast_weight": args.loss_no_object_contrast_weight,
         "loss_angle_cls_weight": args.loss_angle_cls_weight,
         "loss_angle_reg_weight": args.loss_angle_reg_weight,
         "loss_center_weight": args.loss_center_weight,
         "loss_size_weight": args.loss_size_weight,
+        "loss_region_embed_weight": g("loss_region_embed_weight"),
         "loss_predicted_region_embed_l1_weight": args.loss_predicted_region_embed_l1_weight,
+        "loss_predicted_region_embed_l1_only_last_layer_weight": g(
+            "loss_predicted_region_embed_l1_only_last_layer_weight"
+        ),
+        "loss_predicted_region_embed_cos_weight": g("loss_predicted_region_embed_cos_weight"),
         "loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight": args.loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight,
+        "loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi_weight": g(
+            "loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi_weight"
+        ),
         "loss_contrast_object_text_weight": args.loss_contrast_object_text,
+        "loss_image_seen_class_weight": g("loss_image_seen_class_weight"),
     }
     return SetCriterion(
         matcher,

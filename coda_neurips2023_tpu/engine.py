@@ -41,7 +41,10 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, tx, rng, sample_inputs) -> TrainState:
-    variables = model.init(rng, sample_inputs, train=False)
+    # jit the init: eager flax init dispatches thousands of tiny ops, which is
+    # pathological through a remote-compile TPU backend
+    init_fn = jax.jit(lambda r, b: model.init(r, b, train=False))
+    variables = init_fn(rng, sample_inputs)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

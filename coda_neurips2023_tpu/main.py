@@ -354,7 +354,41 @@ def do_train(args, ctx):
 
     if args.checkpoint_dir:
         save_checkpoint(args.checkpoint_dir, state, args.max_epoch - 1, filename="last_checkpoint")
+
+    # final eval artifacts (reference main.py:578-623: final_eval.txt / .pkl)
+    if len(datasets["real_test"]):
+        test_loader = make_loader(
+            datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False
+        )
+        ap = evaluate(
+            eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
+            dataset_name=args.dataset_name,
+        )
+        metrics = ap.compute_metrics()
+        msg = ap.metrics_to_str(metrics)
+        print("==" * 10, f"Final Eval Numbers", "==" * 10)
+        print(msg)
+        if args.checkpoint_dir:
+            with open(os.path.join(args.checkpoint_dir, "final_eval.txt"), "w") as f:
+                f.write(msg + "\n")
+            with open(os.path.join(args.checkpoint_dir, "final_eval.pkl"), "wb") as f:
+                pickle.dump(metrics, f)
+            _export_metrics_excel(metrics, os.path.join(args.checkpoint_dir, "final_eval.xlsx"))
     return state
+
+
+def _export_metrics_excel(metrics: dict, path: str):
+    """Per-class metric sheet (reference main.py:546-566 pandas export)."""
+    try:
+        import pandas as pd
+
+        rows = []
+        for thresh, ret in metrics.items():
+            for k, v in ret.items():
+                rows.append({"iou_thresh": thresh, "metric": k, "value": float(v)})
+        pd.DataFrame(rows).to_excel(path, index=False)
+    except Exception as e:  # openpyxl may be absent
+        print(f"excel export skipped: {e}")
 
 
 def test_model(args, ctx):
@@ -394,10 +428,69 @@ def test_model(args, ctx):
     return metrics
 
 
+def run_mode(args, ctx):
+    """Secondary entry modes (reference main.py:625-961)."""
+    import jax
+
+    from coda_neurips2023_tpu import modes
+    from coda_neurips2023_tpu.datasets.loader import make_loader
+    from coda_neurips2023_tpu.engine import create_train_state, make_eval_step
+    from coda_neurips2023_tpu.utils.io import restore_params_only
+
+    model, tx = ctx["model"], ctx["tx"]
+    loader = make_loader(
+        ctx["datasets"]["test"], args.batchsize_per_gpu_test, shuffle=False
+    )
+    sample = next(iter(loader))
+    sample_arrays = {k: v for k, v in sample.items() if not isinstance(v, list)}
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample_arrays)
+    if args.test_ckpt:
+        state = restore_params_only(args.test_ckpt, state)
+    out_dir = args.checkpoint_dir or "outputs/modes"
+    stage_ctx = ctx.get("stage_ctx")
+
+    if args.show_only:
+        return modes.show_boxes(model, state, loader, os.path.join(out_dir, "show"))
+    if args.save_novel_only or args.save_novel_with_class_only:
+        return modes.save_novel_boxes(
+            model, state, loader, stage_ctx, with_class=args.save_novel_with_class_only
+        )
+    if args.save_seen_feat_only:
+        return modes.save_seen_feats(
+            model, state, loader, stage_ctx, os.path.join(out_dir, "seen_feats")
+        )
+    if args.crop_only:
+        return modes.crop_boxes(
+            model, state, loader, stage_ctx, os.path.join(out_dir, "crops")
+        )
+    if args.cal_class_only:
+        eval_step = make_eval_step(
+            model,
+            eval_text_features=stage_ctx.text_banks["test"] if stage_ctx else None,
+            eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+        )
+        confusion = modes.calculate_class_confusion(
+            eval_step, state, loader, args.test_num_semcls
+        )
+        print("class confusion (rows GT, cols pred):")
+        print(confusion)
+        return confusion
+    raise ValueError("no mode selected")
+
+
 def main(args=None):
     parser = make_args_parser()
     args = parser.parse_args(args)
     ctx = build_everything(args)
+    if (
+        args.show_only
+        or args.save_novel_only
+        or args.save_novel_with_class_only
+        or args.save_seen_feat_only
+        or args.crop_only
+        or args.cal_class_only
+    ):
+        return run_mode(args, ctx)
     if args.test_only:
         return test_model(args, ctx)
     return do_train(args, ctx)

@@ -36,6 +36,20 @@ def project_upright_depth_to_image(pc, k_mat, rtilt):
     return uv, depth
 
 
+def project_world_to_image_scannet(pc, k_mat, pose):
+    """ScanNet projection (scannet_utils.py:649-689): world -> camera via the
+    inverse of the 4x4 camera-to-world pose, then the 3x3 block of the 4x4
+    color intrinsics. pc: (..., N, 3); k_mat/pose: (..., 4, 4)."""
+    inv_pose = jnp.linalg.inv(pose)
+    ones = jnp.ones(pc.shape[:-1] + (1,), pc.dtype)
+    pc_h = jnp.concatenate([pc, ones], axis=-1)
+    pc_cam = jnp.einsum("...ij,...nj->...ni", inv_pose, pc_h)[..., :3]
+    uvh = jnp.einsum("...ij,...nj->...ni", k_mat[..., :3, :3], pc_cam)
+    depth = uvh[..., 2]
+    uv = uvh[..., :2] / (depth[..., None] + 1e-32)
+    return uv, depth
+
+
 def unaugment_corners(corners_xyz, scale_array, rot_array, flip_array, zx_flip_array=None):
     """Invert the point-cloud augmentation on predicted corners
     (model_3detr.py:919-927).
@@ -65,12 +79,20 @@ def corners_to_image_rects(
     """Predicted (un-augmented) corners -> integer 2D crop rects in padded
     image coordinates (model_3detr.py:929-1035).
 
+    Dispatches on the calibration shape: (B, 3, 3) = SUN RGB-D Rtilt/K;
+    (B, 4, 4) = ScanNet pose/intrinsics (the datasets return them that way).
+
     Returns (rects (B, Q, 4) int32 [xmin, ymin, xmax, ymax], min_depth (B, Q)).
     """
     b, q = corners_xyz.shape[:2]
-    uv, depth = project_upright_depth_to_image(
-        corners_xyz.reshape(b, q * 8, 3), k_mat, rtilt
-    )
+    if k_mat.shape[-1] == 4:
+        uv, depth = project_world_to_image_scannet(
+            corners_xyz.reshape(b, q * 8, 3), k_mat, rtilt
+        )
+    else:
+        uv, depth = project_upright_depth_to_image(
+            corners_xyz.reshape(b, q * 8, 3), k_mat, rtilt
+        )
     uv = uv.reshape(b, q, 8, 2)
     depth = depth.reshape(b, q, 8)
 

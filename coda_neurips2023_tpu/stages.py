@@ -82,10 +82,10 @@ class StageContext:
     @property
     def train_text_features(self):
         """Bank the criterion classifies against (superset when
-        --if_clip_superset, model_3detr.py:1786-1791)."""
+        --if_clip_superset, else the seen slice; model_3detr.py:1786-1791)."""
         if self.args.if_clip_superset:
             return self.text_banks["superset"]
-        return self.text_banks["train"]
+        return self.text_banks["train"][: self.args.train_range_max]
 
     def needs_distillation(self) -> bool:
         a = self.args

@@ -57,6 +57,10 @@ def make_args_parser():
     parser.add_argument("--pos_embed", default="fourier", choices=["fourier", "sine"])
     parser.add_argument("--nqueries", default=256, type=int)
     parser.add_argument("--use_color", default=False, action="store_true")
+    parser.add_argument(
+        "--compute_dtype", default="float32", choices=["float32", "bf16", "bfloat16"],
+        help="matmul/attention compute dtype (params stay f32); ours, not a reference flag",
+    )
 
     # accepted-for-compat knobs of unwired reference variants
     parser.add_argument("--cross_enc_dim", default=256, type=int)

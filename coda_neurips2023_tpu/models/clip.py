@@ -37,18 +37,19 @@ def quick_gelu(x):
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
         y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.width, name="attn"
+            num_heads=self.heads, qkv_features=self.width, dtype=self.dtype, name="attn"
         )(inputs_q=y, inputs_k=y, inputs_v=y, mask=attn_mask)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
-        y = nn.Dense(self.width * 4, name="c_fc")(y)
+        y = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(y)
         y = quick_gelu(y)
-        y = nn.Dense(self.width, name="c_proj")(y)
+        y = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
         return x + y
 
 
@@ -56,13 +57,14 @@ class Transformer(nn.Module):
     width: int
     layers: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
         for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, self.heads, name=f"resblock{i}")(
-                x, attn_mask
-            )
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.dtype, name=f"resblock{i}"
+            )(x, attn_mask)
         return x
 
 
@@ -73,16 +75,19 @@ class VisionTransformer(nn.Module):
     layers: int = 12
     heads: int = 12
     output_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3) preprocessed -> (B, output_dim)."""
         b = x.shape[0]
+        x = x.astype(self.dtype)
         x = nn.Conv(
             self.width,
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             use_bias=False,
+            dtype=self.dtype,
             name="conv1",
         )(x)
         x = x.reshape(b, -1, self.width)  # (B, grid*grid, width)
@@ -96,16 +101,18 @@ class VisionTransformer(nn.Module):
             nn.initializers.normal(self.width ** -0.5),
             (n_tok, self.width),
         )
-        x = x + pos
+        x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
-        x = Transformer(self.width, self.layers, self.heads, name="transformer")(x)
+        x = Transformer(
+            self.width, self.layers, self.heads, self.dtype, name="transformer"
+        )(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj",
             nn.initializers.normal(self.width ** -0.5),
             (self.width, self.output_dim),
         )
-        return x @ proj
+        return (x @ proj.astype(x.dtype)).astype(jnp.float32)
 
 
 class TextTransformer(nn.Module):
@@ -115,6 +122,7 @@ class TextTransformer(nn.Module):
     layers: int = 12
     heads: int = 8
     output_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, text_tokens):
@@ -131,9 +139,9 @@ class TextTransformer(nn.Module):
         causal = jnp.tril(
             jnp.ones((self.context_length, self.context_length), bool)
         )[None, None]
-        x = Transformer(self.width, self.layers, self.heads, name="transformer")(
-            x, attn_mask=causal
-        )
+        x = Transformer(
+            self.width, self.layers, self.heads, self.dtype, name="transformer"
+        )(x.astype(self.dtype), attn_mask=causal)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         eot = jnp.argmax(text_tokens, axis=-1)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
@@ -142,7 +150,7 @@ class TextTransformer(nn.Module):
             nn.initializers.normal(self.width ** -0.5),
             (self.width, self.output_dim),
         )
-        return pooled @ proj
+        return (pooled @ proj.astype(pooled.dtype)).astype(jnp.float32)
 
 
 class CLIP(nn.Module):
@@ -158,6 +166,7 @@ class CLIP(nn.Module):
     text_heads: int = 8
     context_length: int = 77
     vocab_size: int = 49408
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.visual = VisionTransformer(
@@ -167,6 +176,7 @@ class CLIP(nn.Module):
             layers=self.vision_layers,
             heads=self.vision_width // 64,
             output_dim=self.embed_dim,
+            dtype=self.dtype,
         )
         self.text = TextTransformer(
             context_length=self.context_length,
@@ -175,6 +185,7 @@ class CLIP(nn.Module):
             layers=self.text_layers,
             heads=self.text_heads,
             output_dim=self.embed_dim,
+            dtype=self.dtype,
         )
         self.logit_scale = self.param(
             "logit_scale", lambda rng: jnp.asarray(np.log(1 / 0.07), jnp.float32)

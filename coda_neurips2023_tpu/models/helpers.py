@@ -50,11 +50,13 @@ class GenericMLP(nn.Module):
 
     def _norm(self, x, train, name):
         if self.norm == "bn1d":
+            # normalize in f32 regardless of compute dtype
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
-            )(x)
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=name
+            )(x.astype(jnp.float32))
         if self.norm == "ln":
-            return nn.LayerNorm(epsilon=1e-5, name=name)(x)
+            return nn.LayerNorm(epsilon=1e-5, name=name)(x.astype(jnp.float32))
         return x
 
     @nn.compact

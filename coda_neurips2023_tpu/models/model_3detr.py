@@ -69,6 +69,7 @@ class CoDA3DETR(nn.Module):
     position_embedding: str = "fourier"
     with_text_head: bool = True
     use_color: bool = False
+    compute_dtype: jnp.dtype = jnp.float32  # bf16 for MXU-heavy paths
 
     def setup(self):
         # pre-encoder: SA(radius .2, nsample 64) (reference build_preencoder,
@@ -79,6 +80,7 @@ class CoDA3DETR(nn.Module):
             nsample=64,
             mlp_dims=(3 * int(self.use_color), 64, 128, self.enc_dim),
             normalize_xyz=True,
+            dtype=self.compute_dtype,
         )
         if self.enc_type == "vanilla":
             self.encoder = TransformerEncoder(
@@ -88,6 +90,7 @@ class CoDA3DETR(nn.Module):
                 dim_feedforward=self.enc_ffn_dim,
                 dropout=self.enc_dropout,
                 activation=self.enc_activation,
+                dtype=self.compute_dtype,
             )
         elif self.enc_type == "masked":
             self.encoder = MaskedTransformerEncoder(
@@ -127,6 +130,7 @@ class CoDA3DETR(nn.Module):
             nhead=self.dec_nhead,
             dim_feedforward=self.dec_ffn_dim,
             dropout=self.dec_dropout,
+            dtype=self.compute_dtype,
         )
 
         def head(output_dim):
@@ -136,6 +140,7 @@ class CoDA3DETR(nn.Module):
                 norm="bn1d",
                 activation="relu",
                 dropout=self.mlp_dropout,
+                dtype=self.compute_dtype,
             )
 
         self.sem_cls_head = head(self.num_cls_predict + 1)
@@ -169,11 +174,12 @@ class CoDA3DETR(nn.Module):
     def get_box_predictions(self, query_xyz, point_cloud_dims, box_features, train):
         """box_features: (L, B, nq, dec_dim) -> dict of stacked per-layer outputs."""
         bp = self.box_processor
-        cls_logits = self.sem_cls_head(box_features, train=train)
-        center_offset = nn.sigmoid(self.center_head(box_features, train=train)) - 0.5
-        size_normalized = nn.sigmoid(self.size_head(box_features, train=train))
-        angle_logits = self.angle_cls_head(box_features, train=train)
-        angle_residual_normalized = self.angle_residual_head(box_features, train=train)
+        f32 = lambda x: x.astype(jnp.float32)
+        cls_logits = f32(self.sem_cls_head(box_features, train=train))
+        center_offset = nn.sigmoid(f32(self.center_head(box_features, train=train))) - 0.5
+        size_normalized = nn.sigmoid(f32(self.size_head(box_features, train=train)))
+        angle_logits = f32(self.angle_cls_head(box_features, train=train))
+        angle_residual_normalized = f32(self.angle_residual_head(box_features, train=train))
         angle_residual = angle_residual_normalized * (
             np.pi / angle_residual_normalized.shape[-1]
         )
@@ -217,7 +223,7 @@ class CoDA3DETR(nn.Module):
         if self.with_text_head:
             out["text_correlation_embedding"] = self.text_correlation_head(
                 box_features, train=train
-            )
+            ).astype(jnp.float32)
         return out
 
     def __call__(self, inputs: dict, train: bool = False, encoder_only: bool = False):
@@ -263,7 +269,15 @@ def get_class_scores(text_correlation_embedding, text_features, logit_scale):
 
 
 def _model_kwargs_from_args(args, dataset_config, num_cls_predict, with_text_head):
+    import jax.numpy as _jnp
+
+    compute_dtype = (
+        _jnp.bfloat16
+        if getattr(args, "compute_dtype", "float32") in ("bf16", "bfloat16")
+        else _jnp.float32
+    )
     return dict(
+        compute_dtype=compute_dtype,
         dataset_config=dataset_config,
         num_cls_predict=num_cls_predict,
         enc_dim=args.enc_dim,

@@ -29,16 +29,19 @@ from coda_neurips2023_tpu.ops.sampling import furthest_point_sample, gather_poin
 class SharedMLP(nn.Module):
     dims: Sequence[int]  # output dims per layer
     bn: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d, use_bias=not self.bn, name=f"conv{i}")(x)
+            x = nn.Dense(d, use_bias=not self.bn, dtype=self.dtype, name=f"conv{i}")(x)
             if self.bn:
+                # BN statistics/affine in f32 for stability; matmuls above run
+                # in compute dtype
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn{i}",
-                )(x)
+                    dtype=jnp.float32, name=f"bn{i}",
+                )(x.astype(jnp.float32))
             x = nn.relu(x)
         return x
 
@@ -57,6 +60,7 @@ class PointnetSAModuleVotes(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = False
     pooling: str = "max"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, features=None, inds=None, train: bool = False):
@@ -76,7 +80,9 @@ class PointnetSAModuleVotes(nn.Module):
             grouped = grouped[..., 3:]
 
         # mlp_dims[0] is the input channel count (+3 handled by use_xyz concat)
-        out = SharedMLP(tuple(self.mlp_dims[1:]), name="mlp_module")(grouped, train=train)
+        out = SharedMLP(tuple(self.mlp_dims[1:]), dtype=self.dtype, name="mlp_module")(
+            grouped, train=train
+        )
         if self.pooling == "max":
             new_features = jnp.max(out, axis=2)
         elif self.pooling == "avg":

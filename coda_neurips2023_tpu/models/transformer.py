@@ -30,11 +30,12 @@ import jax.numpy as jnp
 from coda_neurips2023_tpu.models.helpers import ACT
 
 
-def _xavier_mha(num_heads, dropout_rate, name):
+def _xavier_mha(num_heads, dropout_rate, name, dtype=jnp.float32):
     return nn.MultiHeadDotProductAttention(
         num_heads=num_heads,
         kernel_init=nn.initializers.xavier_uniform(),
         dropout_rate=dropout_rate,
+        dtype=dtype,
         name=name,
     )
 
@@ -45,13 +46,14 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int = 128
     dropout: float = 0.1
     activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos=None, mask=None, train: bool = False):
         act = ACT[self.activation]
         src2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         q = src2 if pos is None else src2 + pos
-        attn = _xavier_mha(self.nhead, self.dropout, "self_attn")(
+        attn = _xavier_mha(self.nhead, self.dropout, "self_attn", self.dtype)(
             inputs_q=q,
             inputs_k=q,
             inputs_v=src2,
@@ -63,14 +65,16 @@ class TransformerEncoderLayer(nn.Module):
         ff = nn.Dense(
             self.dim_feedforward,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
             name="linear1",
         )(src2)
         ff = nn.Dropout(self.dropout, deterministic=not train)(act(ff))
         ff = nn.Dense(
-            self.d_model, kernel_init=nn.initializers.xavier_uniform(), name="linear2"
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype, name="linear2"
         )(ff)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return src
+        return src.astype(jnp.float32)
 
 
 class TransformerEncoder(nn.Module):
@@ -80,6 +84,7 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int = 128
     dropout: float = 0.1
     activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, xyz=None, pos=None, mask=None, train: bool = False):
@@ -91,6 +96,7 @@ class TransformerEncoder(nn.Module):
                 self.dim_feedforward,
                 self.dropout,
                 self.activation,
+                self.dtype,
                 name=f"layer{i}",
             )(out, pos=pos, mask=mask, train=train)
         return xyz, out, None  # (xyz, features, inds): no downsampling here
@@ -159,13 +165,14 @@ class TransformerDecoderLayer(nn.Module):
     dim_feedforward: int = 256
     dropout: float = 0.1
     activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, pos=None, train: bool = False):
         act = ACT[self.activation]
         tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         q = tgt2 if query_pos is None else tgt2 + query_pos
-        sa = _xavier_mha(self.nhead, self.dropout, "self_attn")(
+        sa = _xavier_mha(self.nhead, self.dropout, "self_attn", self.dtype)(
             inputs_q=q, inputs_k=q, inputs_v=tgt2, deterministic=not train
         )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(sa)
@@ -173,7 +180,7 @@ class TransformerDecoderLayer(nn.Module):
         tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         qq = tgt2 if query_pos is None else tgt2 + query_pos
         kk = memory if pos is None else memory + pos
-        ca = _xavier_mha(self.nhead, self.dropout, "multihead_attn")(
+        ca = _xavier_mha(self.nhead, self.dropout, "multihead_attn", self.dtype)(
             inputs_q=qq, inputs_k=kk, inputs_v=memory, deterministic=not train
         )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ca)
@@ -182,14 +189,16 @@ class TransformerDecoderLayer(nn.Module):
         ff = nn.Dense(
             self.dim_feedforward,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
             name="linear1",
         )(tgt2)
         ff = nn.Dropout(self.dropout, deterministic=not train)(act(ff))
         ff = nn.Dense(
-            self.d_model, kernel_init=nn.initializers.xavier_uniform(), name="linear2"
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype, name="linear2"
         )(ff)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return tgt
+        return tgt.astype(jnp.float32)
 
 
 class TransformerDecoder(nn.Module):
@@ -198,6 +207,7 @@ class TransformerDecoder(nn.Module):
     nhead: int = 4
     dim_feedforward: int = 256
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, pos=None, train: bool = False):
@@ -208,6 +218,7 @@ class TransformerDecoder(nn.Module):
         for i in range(self.num_layers):
             out = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                dtype=self.dtype,
                 name=f"layer{i}",
             )(out, memory, query_pos=query_pos, pos=pos, train=train)
             intermediate.append(norm(out))

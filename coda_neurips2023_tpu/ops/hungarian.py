@@ -118,14 +118,34 @@ def matcher_assignments(cost_prop_gt: jnp.ndarray, nactual_gt: jnp.ndarray):
       proposal_matched_mask: (B, nprop) float32 1/0.
     """
     b, nprop, ngt = cost_prop_gt.shape
-    # rows = proposals; columns = GT padded up to >= nprop with a large
-    # constant cost.  Padded columns absorb the unmatched proposals: every
-    # feasible assignment places exactly (nprop - nactual) rows on padded
-    # columns at identical cost, so the optimum over real columns equals
-    # scipy's rectangular optimum.
+    if ngt <= nprop:
+        # common case (64 GT x 128 proposals): rows = GT.  Rows beyond nactual
+        # get constant cost 0: constant rows shift every feasible assignment's
+        # total equally, so the optimum over real rows is unchanged, and the
+        # sequential augmenting-path loop runs ngt (not nprop) times.
+        cost_gt_prop = jnp.swapaxes(cost_prop_gt, 1, 2).astype(jnp.float32)
+        gt_live = jnp.arange(ngt)[None, :] < nactual_gt[:, None]  # (B, ngt)
+        cost_gt_prop = jnp.where(gt_live[..., None], cost_gt_prop, 0.0)
+        col4row = hungarian_match(cost_gt_prop)  # (B, ngt) proposal per GT
+
+        per_prop = jnp.zeros((b, nprop), jnp.int32)
+        matched = jnp.zeros((b, nprop), jnp.float32)
+        gt_ids = jnp.broadcast_to(jnp.arange(ngt, dtype=jnp.int32)[None, :], (b, ngt))
+        safe_cols = jnp.where(gt_live, col4row, nprop)  # drop padded GT rows
+        per_prop = jax.vmap(lambda pp, c, g: pp.at[c].set(g, mode="drop"))(
+            per_prop, safe_cols, gt_ids
+        )
+        matched = jax.vmap(lambda mm, c: mm.at[c].set(1.0, mode="drop"))(
+            matched, safe_cols
+        )
+        return {"per_prop_gt_inds": per_prop, "proposal_matched_mask": matched}
+
+    # ngt > nprop: rows = proposals; columns = GT padded up to >= nprop with a
+    # large constant cost.  Padded columns absorb the unmatched proposals at
+    # identical cost each, so the optimum over real columns equals scipy's
+    # rectangular optimum.
     ncols = max(ngt, nprop)
     big = jnp.float32(1e6)
-    # offset real costs so they are always preferred over padding
     col_ids = jnp.arange(ncols, dtype=jnp.int32)
     col_live = col_ids[None, :] < nactual_gt[:, None]  # (B, ncols)
     padded = jnp.full((b, nprop, ncols), big, jnp.float32)

@@ -55,6 +55,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int, ctypes.c_float, ctypes.c_int, i32p,
     ]
     lib.nms_3d_samecls_cpu.restype = ctypes.c_int
+    lib.clip_area_eval_cpu.argtypes = [f32p, f32p]
+    lib.clip_area_eval_cpu.restype = ctypes.c_double
+    lib.box3d_iou_eval_cpu.argtypes = [f32p, f32p, ctypes.c_int, f64p]
     _lib = lib
     return _lib
 
@@ -88,6 +91,16 @@ def clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
     return lib.clip_area_cpu(
         np.ascontiguousarray(subject, np.float32), np.ascontiguousarray(clip, np.float32)
     )
+
+
+def box3d_iou_eval_batch(bb: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """Eval-path rotated 3D IoU of one (8,3) box vs (M,8,3) boxes."""
+    lib = get_lib()
+    bb = np.ascontiguousarray(bb, np.float32)
+    gts = np.ascontiguousarray(gts, np.float32)
+    out = np.zeros((gts.shape[0],), np.float64)
+    lib.box3d_iou_eval_cpu(bb, gts, gts.shape[0], out)
+    return out
 
 
 def nms_3d_samecls(boxes: np.ndarray, thresh: float, old_type: bool = False) -> np.ndarray:

@@ -145,6 +145,17 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, get_iou_func=get_
     boxes = boxes[sorted_ind, ...] if boxes.size else boxes
     image_ids = [image_ids[x] for x in sorted_ind]
 
+    # native batched IoU (C++) when the default rotated-IoU is in use
+    native_batch = None
+    if get_iou_func is get_iou_obb:
+        try:
+            from coda_neurips2023_tpu import native
+
+            if native.available():
+                native_batch = native.box3d_iou_eval_batch
+        except Exception:
+            native_batch = None
+
     nd = len(image_ids)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
@@ -153,10 +164,15 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, get_iou_func=get_
         bb = boxes[d, ...].astype(float)
         ovmax, jmax = -np.inf, -1
         gt_boxes = rec_entry["bbox"].astype(float)
-        for j in range(gt_boxes.shape[0]):
-            iou = get_iou_func(bb, gt_boxes[j, ...])
-            if iou > ovmax:
-                ovmax, jmax = iou, j
+        if native_batch is not None and gt_boxes.shape[0] > 0:
+            ious = native_batch(bb, gt_boxes)
+            jmax = int(np.argmax(ious))
+            ovmax = float(ious[jmax])
+        else:
+            for j in range(gt_boxes.shape[0]):
+                iou = get_iou_func(bb, gt_boxes[j, ...])
+                if iou > ovmax:
+                    ovmax, jmax = iou, j
         if ovmax > ovthresh:
             if not rec_entry["det"][jmax]:
                 tp[d] = 1.0

@@ -127,6 +127,93 @@ double clip_area_cpu(const float* subject, const float* clip) {
   return 0.5 * std::fabs(acc);
 }
 
+// Eval-path variant (box_util.py:36-107): inside := cross > 1e-12, plus the
+// keep-collinear branch so identical boxes give full overlap; used by the
+// VOC AP IoU (eval_det.py get_iou_obb).
+double clip_area_eval_cpu(const float* subject, const float* clip) {
+  double out[24][2], in[24][2];
+  int n_out = 4;
+  // eval path iterates rects in given order; caller passes the CCW [3,2,1,0]
+  for (int i = 0; i < 4; ++i) { out[i][0] = subject[i * 2]; out[i][1] = subject[i * 2 + 1]; }
+  double cp1[2] = {clip[3 * 2], clip[3 * 2 + 1]};
+  const double TOL = 1e-12;
+  for (int c = 0; c < 4; ++c) {
+    double cp2[2] = {clip[c * 2], clip[c * 2 + 1]};
+    int n_in = n_out;
+    std::memcpy(in, out, sizeof(double) * 2 * n_in);
+    n_out = 0;
+    if (n_in == 0) return 0.0;
+    double s[2] = {in[n_in - 1][0], in[n_in - 1][1]};
+    for (int i = 0; i < n_in && n_out < 23; ++i) {
+      double e[2] = {in[i][0], in[i][1]};
+      const double ce = (cp2[0] - cp1[0]) * (e[1] - cp1[1]) - (cp2[1] - cp1[1]) * (e[0] - cp1[0]);
+      const double cs = (cp2[0] - cp1[0]) * (s[1] - cp1[1]) - (cp2[1] - cp1[1]) * (s[0] - cp1[0]);
+      const bool ie = ce > TOL, is = cs > TOL;
+      if (ie != is) {
+        const double dc0 = cp1[0] - cp2[0], dc1 = cp1[1] - cp2[1];
+        const double dp0 = s[0] - e[0], dp1 = s[1] - e[1];
+        const double n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0];
+        const double n2 = s[0] * e[1] - s[1] * e[0];
+        const double den = dc0 * dp1 - dc1 * dp0;
+        if (den != 0.0) {
+          const double n3 = 1.0 / den;
+          out[n_out][0] = (n1 * dp0 - n2 * dc0) * n3;
+          out[n_out][1] = (n1 * dp1 - n2 * dc1) * n3;
+        } else {
+          out[n_out][0] = e[0]; out[n_out][1] = e[1];
+        }
+        ++n_out;
+      }
+      if (ie) { out[n_out][0] = e[0]; out[n_out][1] = e[1]; ++n_out; }
+      else if (!is && std::fabs(cs) <= TOL && std::fabs(ce) <= TOL) {
+        out[n_out][0] = e[0]; out[n_out][1] = e[1]; ++n_out;  // keep collinear
+      }
+      s[0] = e[0]; s[1] = e[1];
+    }
+    cp1[0] = cp2[0]; cp1[1] = cp2[1];
+    if (n_out == 0) return 0.0;
+  }
+  if (n_out < 3) return 0.0;
+  double acc = 0.0;
+  for (int i = 0; i < n_out; ++i) {
+    const int p = (i + n_out - 1) % n_out;
+    acc += out[i][0] * out[p][1] - out[i][1] * out[p][0];
+  }
+  return 0.5 * std::fabs(acc);
+}
+
+// eval-path rotated 3D IoU of one box vs many (corners (8,3) camera frame)
+void box3d_iou_eval_cpu(const float* bb, const float* gts, int m, double* out_iou) {
+  float rect1[8];
+  for (int i = 0; i < 4; ++i) {
+    rect1[i * 2] = bb[(3 - i) * 3 + 0];
+    rect1[i * 2 + 1] = bb[(3 - i) * 3 + 2];
+  }
+  auto vol = [](const float* c) {
+    auto d = [&](int a, int b) {
+      double dx = c[a * 3] - c[b * 3], dy = c[a * 3 + 1] - c[b * 3 + 1],
+             dz = c[a * 3 + 2] - c[b * 3 + 2];
+      return std::sqrt(dx * dx + dy * dy + dz * dz);
+    };
+    return d(0, 1) * d(1, 2) * d(0, 4);
+  };
+  const double vol1 = vol(bb);
+  for (int j = 0; j < m; ++j) {
+    const float* gt = gts + (size_t)j * 24;
+    float rect2[8];
+    for (int i = 0; i < 4; ++i) {
+      rect2[i * 2] = gt[(3 - i) * 3 + 0];
+      rect2[i * 2 + 1] = gt[(3 - i) * 3 + 2];
+    }
+    const double inter_area = clip_area_eval_cpu(rect1, rect2);
+    const double ymax = std::min(bb[0 * 3 + 1], gt[0 * 3 + 1]);
+    const double ymin = std::max(bb[4 * 3 + 1], gt[4 * 3 + 1]);
+    const double inter_vol = inter_area * std::max(0.0, ymax - ymin);
+    const double vol2 = vol(gt);
+    out_iou[j] = inter_vol / std::max(vol1 + vol2 - inter_vol, 1e-12);
+  }
+}
+
 // batched: rect1 (k1, 4, 2), rect2 (k2, 4, 2) -> areas (k1, k2);
 // gate: skip pairs whose axis-aligned overlap gate is 0 (pass NULL to disable)
 void clip_area_batch_cpu(const float* rect1, const float* rect2, int k1, int k2,

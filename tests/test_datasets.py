@@ -1,0 +1,155 @@
+"""Real-loader contract tests over synthetic on-disk fixtures (same file
+formats as the reference data preparation)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from coda_neurips2023_tpu.datasets.config import (
+    ScannetAnonymousConfig,
+    SunrgbdAnonymousConfig,
+)
+from coda_neurips2023_tpu.datasets.loader import make_loader
+from coda_neurips2023_tpu.datasets.scannet import ScannetDetectionDataset
+from coda_neurips2023_tpu.datasets.sunrgbd import SunrgbdDetectionDataset
+
+EXPECTED_KEYS = {
+    "point_clouds", "gt_box_corners", "gt_box_corners_xyz", "gt_box_centers",
+    "gt_box_centers_normalized", "gt_box_sem_cls_label",
+    "gt_box_seen_sem_cls_label", "gt_box_seen_sem_cls_confi", "gt_box_present",
+    "gt_box_sizes", "gt_box_sizes_normalized", "gt_box_angles",
+    "gt_angle_class_label", "gt_angle_residual_label",
+    "point_cloud_dims_min", "point_cloud_dims_max", "scan_idx",
+}
+
+
+def make_sunrgbd_fixture(root, n_scans=3):
+    rng = np.random.default_rng(0)
+    data_dir = str(root / "sunrgbd_pc_train")
+    calib_dir = str(root / "calib")
+    image_dir = str(root / "image")
+    os.makedirs(data_dir), os.makedirs(calib_dir), os.makedirs(image_dir)
+    for i in range(n_scans):
+        scan = f"{i:06d}"
+        pc = rng.uniform(-3, 3, (1200, 6)).astype(np.float32)
+        np.savez(os.path.join(data_dir, scan + "_pc.npz"), pc=pc)
+        k = rng.integers(1, 5)
+        boxes = np.zeros((k, 8))
+        boxes[:, 0:3] = rng.uniform(-2, 2, (k, 3))
+        boxes[:, 3:6] = rng.uniform(0.2, 0.8, (k, 3))  # half extents
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, k)
+        boxes[:, 7] = rng.integers(0, 12, k)
+        np.save(os.path.join(data_dir, scan + "_bbox.npy"), boxes)
+        rtilt = np.eye(3).reshape(-1, order="F")
+        kmat = np.array([[520.0, 0, 360], [0, 520.0, 260], [0, 0, 1]]).reshape(
+            -1, order="F"
+        )
+        with open(os.path.join(calib_dir, scan + ".txt"), "w") as f:
+            f.write(" ".join(str(x) for x in rtilt) + "\n")
+            f.write(" ".join(str(x) for x in kmat) + "\n")
+        img = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+        cv2.imwrite(os.path.join(image_dir, scan + ".jpg"), img)
+    return str(root / "sunrgbd_pc"), calib_dir, image_dir
+
+
+class TestSunrgbdLoader:
+    def test_train_sample_contract(self, tmp_path):
+        root, calib, image = make_sunrgbd_fixture(tmp_path)
+        cfg = SunrgbdAnonymousConfig(train_range=(0, 10), test_range=(0, 46))
+        ds = SunrgbdDetectionDataset(
+            cfg, "train", root_dir=root, calib_dir=calib, image_dir=image,
+            num_points=512, augment=True, if_input_image=True,
+            if_image_augment=True, anonymous=True, use_pseudo_labels=True,
+            seed=0,
+        )
+        assert len(ds) == 3
+        s = ds[0]
+        assert EXPECTED_KEYS <= set(s)
+        assert s["point_clouds"].shape == (512, 3)
+        assert s["gt_box_corners"].shape == (64, 8, 3)
+        assert s["gt_box_present"].sum() >= 0
+        assert s["input_image"].shape == (531, 730, 3)
+        assert s["K"].shape == (3, 3) and s["Rtilt"].shape == (3, 3)
+        assert os.path.exists(s["pseudo_box_path"])  # created on first load
+        # anonymized labels
+        assert np.all(s["gt_box_sem_cls_label"] == 0)
+        # seen labels within train range for present real boxes
+        live = s["gt_box_present"] > 0
+        assert np.all(s["gt_box_seen_sem_cls_label"][live] < 10)
+
+    def test_pseudo_label_merge(self, tmp_path):
+        root, calib, image = make_sunrgbd_fixture(tmp_path)
+        cfg = SunrgbdAnonymousConfig()
+        ds = SunrgbdDetectionDataset(
+            cfg, "train", root_dir=root, calib_dir=calib, image_dir=image,
+            num_points=256, augment=False, if_input_image=False,
+            anonymous=True, use_pseudo_labels=True, seed=0,
+        )
+        s0 = ds[0]
+        n0 = int(s0["gt_box_present"].sum())
+        # write two pseudo rows (full extents, 10-dim like discovery output)
+        rows = np.zeros((2, 10))
+        rows[:, 0:3] = [[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]]
+        rows[:, 3:6] = 0.6
+        rows[:, 7] = 20  # novel class id
+        rows[:, 8] = 0.9
+        rows[:, 9] = 0.8
+        np.save(s0["pseudo_box_path"], rows)
+        s1 = ds[0]
+        assert int(s1["gt_box_present"].sum()) == n0 + 2
+
+    def test_val_split_keeps_test_range(self, tmp_path):
+        root, calib, image = make_sunrgbd_fixture(tmp_path)
+        os.rename(str(tmp_path / "sunrgbd_pc_train"), str(tmp_path / "sunrgbd_pc_val"))
+        cfg = SunrgbdAnonymousConfig()
+        ds = SunrgbdDetectionDataset(
+            cfg, "val", root_dir=root, calib_dir=calib, image_dir=image,
+            num_points=256, augment=False, if_input_image=False, anonymous=True,
+        )
+        s = ds[0]
+        assert np.all(s["gt_box_sem_cls_label"] == 0)
+
+    def test_loader_batching(self, tmp_path):
+        root, calib, image = make_sunrgbd_fixture(tmp_path)
+        cfg = SunrgbdAnonymousConfig()
+        ds = SunrgbdDetectionDataset(
+            cfg, "train", root_dir=root, calib_dir=calib, image_dir=image,
+            num_points=256, augment=True, if_input_image=True, anonymous=True,
+            use_pseudo_labels=False, seed=0,
+        )
+        loader = make_loader(ds, 2, shuffle=True, num_workers=2)
+        batch = next(iter(loader))
+        assert batch["point_clouds"].shape == (2, 256, 3)
+        assert isinstance(batch["im_name"], list)
+        assert batch["input_image"].shape == (2, 531, 730, 3)
+
+
+class TestScannetLoader:
+    def test_train_sample_contract(self, tmp_path):
+        rng = np.random.default_rng(1)
+        data_dir = str(tmp_path / "scannet_train")
+        os.makedirs(data_dir)
+        for i in range(2):
+            name = f"scene{i:04d}_00_0"
+            pc = rng.uniform(-3, 3, (800, 6)).astype(np.float32)
+            np.save(os.path.join(data_dir, name + "_pc.npy"), pc)
+            boxes = np.zeros((3, 8))
+            boxes[:, 0:3] = rng.uniform(-2, 2, (3, 3))
+            boxes[:, 3:6] = rng.uniform(0.2, 0.8, (3, 3))
+            boxes[:, 7] = rng.integers(0, 10, 3)
+            np.save(os.path.join(data_dir, name + "_bbox.npy"), boxes)
+        cfg = ScannetAnonymousConfig(train_range=(0, 10), test_range=(0, 60))
+        ds = ScannetDetectionDataset(
+            cfg, "train", root_dir=str(tmp_path / "scannet"), num_points=256,
+            augment=True, if_input_image=False, anonymous=True,
+            use_pseudo_labels=True, seed=0,
+        )
+        assert len(ds) == 2
+        s = ds[0]
+        assert EXPECTED_KEYS <= set(s)
+        assert s["point_clouds"].shape == (256, 3)
+        assert np.all(s["gt_box_sem_cls_label"] == 0)
+        assert np.all(np.isfinite(s["gt_box_corners"]))

@@ -40,6 +40,28 @@ def test_clip_area_matches_golden():
         assert got == pytest.approx(want, rel=1e-4, abs=1e-6)
 
 
+def test_box3d_iou_eval_matches_python():
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.ops import box_ops
+    from coda_neurips2023_tpu.utils.eval_det import box3d_iou
+
+    rng = np.random.default_rng(4)
+    centers = rng.uniform(-2, 2, (6, 3)).astype(np.float32)
+    sizes = rng.uniform(0.3, 1.5, (6, 3)).astype(np.float32)
+    angles = rng.uniform(-np.pi, np.pi, 6).astype(np.float32)
+    corners = np.asarray(
+        box_ops.get_3d_box_batch(jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers))
+    )
+    bb = corners[0]
+    ious = native.box3d_iou_eval_batch(bb, corners)
+    for j in range(6):
+        want = box3d_iou(bb.astype(float), corners[j].astype(float))[0]
+        assert ious[j] == pytest.approx(want, rel=1e-5, abs=1e-7)
+    # identical boxes -> IoU 1 (the keep-collinear branch)
+    assert ious[0] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_nms_matches_numpy():
     from coda_neurips2023_tpu.utils.nms import nms_3d_faster_samecls
 

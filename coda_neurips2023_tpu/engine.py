@@ -205,8 +205,11 @@ def train_one_epoch(
     for it, host_batch in enumerate(batches):
         t0 = time.perf_counter()
         batch = {k: v for k, v in host_batch.items() if not isinstance(v, list)}
+        batch["curr_epoch"] = np.int32(curr_epoch)  # for epoch-gated paths
         if mesh is not None:
+            epoch_scalar = batch.pop("curr_epoch")
             batch = shard_batch(mesh, batch)
+            batch["curr_epoch"] = epoch_scalar  # scalars replicate implicitly
         result = train_step(state, batch, rng)
         if len(result) == 3:
             state, metrics, last_outputs = result

@@ -149,6 +149,85 @@ def clip_crop_scores(
     return jax.lax.map(per_sample, (images, rects, valid))
 
 
+def keep_novel_boxes_as_gt(
+    outputs: dict,
+    batch: dict,
+    sel: jnp.ndarray,
+    emb: jnp.ndarray,
+    valid: jnp.ndarray,
+    text_features: jnp.ndarray,
+    logit_scale,
+    keep_objectness: float,
+    train_range_max: int,
+    enabled,
+):
+    """--if_keep_box (reference model_3detr.py:1108-1155): among the
+    distillation-crop boxes, those with objectness > keep_objectness whose
+    CLIP crop classifies as a novel class (max prob > 0.5, argmax >=
+    train_range_max) are APPENDED to the sample's GT set (present mask, box
+    geometry, angle labels from the predictions), capped at max_num_obj.
+
+    `enabled` is a traced bool (epoch gating happens outside).  Returns the
+    updated gt_* target arrays.
+    """
+    b, n_sel = sel.shape
+    nq = outputs["objectness_prob"].shape[-1]
+    max_obj = batch["gt_box_present"].shape[1]
+
+    norm = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+    logits = jnp.einsum("bsc,kc->bsk", norm, text_features.astype(jnp.float32))
+    probs = jax.nn.softmax(logits * logit_scale, axis=-1)
+    max_score = jnp.max(probs, axis=-1)
+    max_idx = jnp.argmax(probs, axis=-1)
+    obj_sel = jnp.take_along_axis(outputs["objectness_prob"], sel, axis=1)
+    keep = (
+        valid
+        & (obj_sel > keep_objectness)
+        & (max_score > 0.5)
+        & (max_idx >= train_range_max)
+        & enabled
+    )  # (B, n_sel)
+
+    nactual = jnp.sum(batch["gt_box_present"], axis=1).astype(jnp.int32)  # (B,)
+    pos = nactual[:, None] + jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(keep & (pos < max_obj), pos, max_obj)  # max_obj == dropped
+
+    def take(key):
+        x = outputs[key]
+        return jnp.take_along_axis(
+            x, sel.reshape(b, n_sel, *([1] * (x.ndim - 2))), axis=1
+        )
+
+    angle_cls = jnp.argmax(take("angle_logits"), axis=-1)
+    angle_res = jnp.take_along_axis(take("angle_residual"), angle_cls[..., None], -1)[..., 0]
+
+    def scatter(target, values):
+        return jax.vmap(lambda t, p, v: t.at[p].set(v, mode="drop"))(target, pos, values)
+
+    updates = {
+        "gt_box_present": scatter(batch["gt_box_present"], jnp.ones_like(keep, jnp.float32)),
+        "gt_angle_class_label": scatter(
+            batch["gt_angle_class_label"].astype(jnp.int32), angle_cls.astype(jnp.int32)
+        ),
+        "gt_angle_residual_label": scatter(batch["gt_angle_residual_label"], angle_res),
+        "gt_box_sizes_normalized": scatter(
+            batch["gt_box_sizes_normalized"], take("size_normalized")
+        ),
+        "gt_box_corners": scatter(batch["gt_box_corners"], take("box_corners")),
+        "gt_box_angles": scatter(batch["gt_box_angles"], take("angle_continuous")),
+        "gt_box_centers_normalized": scatter(
+            batch["gt_box_centers_normalized"], take("center_normalized")
+        ),
+    }
+    if "gt_box_sizes" in batch:
+        updates["gt_box_sizes"] = scatter(batch["gt_box_sizes"], take("size_unnormalized"))
+    if "gt_box_corners_xyz" in batch:
+        updates["gt_box_corners_xyz"] = scatter(
+            batch["gt_box_corners_xyz"], take("box_corners_xyz")
+        )
+    return updates
+
+
 def build_clip_distillation_targets(
     rng,
     outputs: dict,
@@ -159,6 +238,10 @@ def build_clip_distillation_targets(
     distillation_box_num: int = 32,
     if_clip_weak_labels: bool = False,
     crop_size: int = 224,
+    if_keep_box: bool = False,
+    keep_objectness: float = 0.5,
+    train_range_max: int = 10,
+    keep_enabled=False,
 ):
     """Returns the criterion targets produced by the reference forward:
     gt_text_correlation_embedding (B, nq, 512),
@@ -230,6 +313,13 @@ def build_clip_distillation_targets(
         "gt_text_correlation_embedding": gt_emb,
         "gt_text_correlation_embedding_mask": mask,
     }
+    if if_keep_box and text_features is not None:
+        targets.update(
+            keep_novel_boxes_as_gt(
+                outputs, batch, sel, emb, valid, text_features, logit_scale,
+                keep_objectness, train_range_max, keep_enabled,
+            )
+        )
     if if_clip_weak_labels and text_features is not None:
         norm = gt_emb / (jnp.linalg.norm(gt_emb, axis=-1, keepdims=True) + 1e-32)
         logits = jnp.einsum("bqc,kc->bqk", norm, text_features.astype(jnp.float32))

@@ -107,10 +107,20 @@ class StageContext:
         n_boxes = args.distillation_box_num
         weak = args.if_clip_weak_labels
 
+        if_keep_box = getattr(args, "if_keep_box", False)
+        keep_objectness = getattr(args, "keep_objectness", 0.5)
+        begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
+        train_range_max = args.train_range_max
+
         def fn(outputs, batch, rng):
             if "input_image" not in batch:
                 return {}
             last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
+            keep_enabled = False
+            if if_keep_box:
+                # epoch gating traced through batch["curr_epoch"]
+                # (reference: curr_epoch >= 540, model_3detr.py:1108)
+                keep_enabled = batch.get("curr_epoch", jnp.int32(0)) >= begin_keep_epoch
             targets = build_clip_distillation_targets(
                 jax.random.fold_in(rng, 7),
                 last,
@@ -121,6 +131,10 @@ class StageContext:
                 distillation_box_num=n_boxes,
                 if_clip_weak_labels=weak,
                 crop_size=self.crop_size,
+                if_keep_box=if_keep_box,
+                keep_objectness=keep_objectness,
+                train_range_max=train_range_max,
+                keep_enabled=keep_enabled,
             )
             targets["text_features_clip"] = text
             targets["logit_scale"] = scale

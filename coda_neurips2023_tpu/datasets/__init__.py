@@ -111,7 +111,12 @@ def build_dataset(args):
             "train": SunrgbdDetectionDataset(
                 anon_cfg, "train", augment=True, anonymous=True,
                 use_pseudo_labels=use_pseudo,
-                if_image_augment=args.if_image_augment, **common,
+                if_image_augment=args.if_image_augment,
+                object_aug_dir=(
+                    getattr(args, "object_aug_dir", None)
+                    if name.endswith("object_aug") else None
+                ),
+                **common,
             ),
             "test": SunrgbdDetectionDataset(
                 anon_cfg, "val", augment=False, anonymous=True, **common

@@ -119,6 +119,63 @@ class RandomCuboid:
         return point_cloud, boxes, box_extras
 
 
+class VirtualObjectAugmentor:
+    """Virtual-object insertion (reference
+    sunrgbd_anonymous_aligned_image_object_aug.py:391-520): point-e generated
+    object point clouds are randomly rotated (+-90deg), scaled (0.5-1.1x),
+    shifted into the scene bounds, concatenated to the scene, and their
+    axis-aligned boxes appended as GT (half-extent convention, like the rest
+    of the pipeline)."""
+
+    def __init__(self, object_dir: str, class_id: int = 0, max_objects: int = 1):
+        import os
+
+        self.paths = []
+        if object_dir and os.path.isdir(object_dir):
+            self.paths = sorted(
+                os.path.join(object_dir, f)
+                for f in os.listdir(object_dir)
+                if f.endswith(".npy")
+            )
+        self.class_id = class_id
+        self.max_objects = max_objects
+
+    def __call__(self, rng, point_cloud: np.ndarray, bboxes: np.ndarray):
+        if not self.paths:
+            return point_cloud, bboxes
+        n_obj = int(rng.integers(1, self.max_objects + 1))
+        for _ in range(n_obj):
+            obj = np.load(self.paths[int(rng.integers(0, len(self.paths)))])[:, :3]
+            # random rotation -90..+90 about Z
+            rot_angle = rng.random() * np.pi - np.pi / 2
+            obj = obj @ rotz(rot_angle).T
+            # random scale 0.5-1.1
+            obj = obj * (rng.random() * 0.6 + 0.5)
+            # shrink while larger than the scene
+            scene_ext = point_cloud[:, :3].max(0) - point_cloud[:, :3].min(0)
+            while np.any(obj.max(0) - obj.min(0) > scene_ext):
+                obj = obj * 0.75
+            # random shift into the scene bounds
+            lo = point_cloud[:, :3].min(0) - obj.min(0)
+            hi = point_cloud[:, :3].max(0) - obj.max(0)
+            shift = np.array(
+                [rng.uniform(min(lo[d], hi[d]), max(lo[d], hi[d])) for d in range(3)]
+            )
+            obj = obj + shift
+            center = (obj.max(0) + obj.min(0)) / 2
+            half = (obj.max(0) - obj.min(0)) / 2
+            row = np.zeros((1, bboxes.shape[1] if bboxes.size else 8))
+            row[0, 0:3] = center
+            row[0, 3:6] = half
+            row[0, 6] = -rot_angle
+            row[0, 7] = self.class_id
+            pad = np.zeros((obj.shape[0], point_cloud.shape[1]))
+            pad[:, :3] = obj
+            point_cloud = np.concatenate([point_cloud, pad], axis=0)
+            bboxes = np.concatenate([bboxes, row], axis=0) if bboxes.size else row
+        return point_cloud, bboxes
+
+
 def random_sampling(rng, pc: np.ndarray, num_sample: int, return_choices=False):
     """utils/pc_util.py:24-33."""
     replace = pc.shape[0] < num_sample

@@ -85,6 +85,7 @@ class SunrgbdDetectionDataset:
         confidence_type_in_datalayer: str = "weight_one",
         use_random_cuboid: bool = True,
         random_cuboid_min_points: int = 30000,
+        object_aug_dir: Optional[str] = None,
         seed: Optional[int] = None,
     ):
         assert num_points <= 50000
@@ -111,6 +112,12 @@ class SunrgbdDetectionDataset:
         self.random_cuboid_augmentor = RandomCuboid(
             min_points=random_cuboid_min_points, aspect=0.75, min_crop=0.75, max_crop=1.0
         )
+        # virtual-object insertion (the `_object_aug` dataset variant)
+        self.object_augmentor = None
+        if object_aug_dir:
+            from coda_neurips2023_tpu.datasets.augment import VirtualObjectAugmentor
+
+            self.object_augmentor = VirtualObjectAugmentor(object_aug_dir)
         self.rng = np.random.default_rng(seed)
         if self.data_path and os.path.isdir(self.data_path):
             self.scan_names = sorted(
@@ -267,6 +274,13 @@ class SunrgbdDetectionDataset:
         flip_array = np.ones(1)
         rot_angle = np.zeros(1)
         if self.augment:
+            if self.object_augmentor is not None and bboxes.size:
+                n_before = bboxes.shape[0]
+                point_cloud, bboxes = self.object_augmentor(rng, point_cloud, bboxes)
+                n_added = bboxes.shape[0] - n_before
+                if n_added:
+                    seen_cls = np.concatenate([seen_cls, np.zeros(n_added)])
+                    seen_confi = np.concatenate([seen_confi, np.ones(n_added)])
             point_cloud, bboxes, flip_array, rot_array, scale_array, rot_angle = (
                 augment_pointcloud(rng, point_cloud, bboxes)
             )

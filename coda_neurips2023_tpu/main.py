@@ -158,6 +158,8 @@ def make_args_parser():
     parser.add_argument("--dataset_root_dir", type=str, default=None)
     parser.add_argument("--meta_data_dir", type=str, default=None)
     parser.add_argument("--asset_dir", type=str, default="datasets")
+    parser.add_argument("--object_aug_dir", type=str, default=None,
+                        help="virtual-object .npy dir for the _object_aug dataset variant")
     parser.add_argument("--calib_dir", type=str, default=None)
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--dataset_num_workers", default=4, type=int)

@@ -155,6 +155,12 @@ class SetCriterion:
             "loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi,
             "loss_contrast_object_text": self.loss_contrast_object_text,
             "loss_image_seen_class": self.loss_image_seen_class,
+            "loss_feat_seen_softmax_loss": self.loss_feat_seen_softmax_loss,
+            "loss_feat_seen_softmax_weakly_loss": self.loss_feat_seen_softmax_weakly_loss,
+            "loss_feat_seen_softmax_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_loss_with_novel_cate_confi,
+            "loss_batchwise_contrastive": self.loss_batchwise_contrastive,
+            "loss_prompt_softmax": self.loss_prompt_softmax,
+            "loss_prompt_sigmoid": self.loss_prompt_sigmoid,
         }
 
     # ---------------- individual losses ----------------
@@ -395,6 +401,95 @@ class SetCriterion:
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, gt_label[..., None], axis=-1)[..., 0] * wsel
         return jnp.sum(nll) / jnp.maximum(jnp.sum(wsel), 1e-32)
+
+    def _seen_logits(self, outputs, targets):
+        emb = outputs["text_correlation_embedding"]
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+        text = targets["text_features_clip"].astype(jnp.float32)
+        return jnp.einsum("bqc,kc->bqk", emb, text) * targets["logit_scale"]
+
+    def loss_feat_seen_softmax_loss(self, outputs, targets, assignments):
+        """criterion.py:488-540: matched-only seen-class CE, confidence 1."""
+        logits = self._seen_logits(outputs, targets)
+        seen_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        confi = assignments["proposal_matched_mask"]
+        nll = _cross_entropy(logits, seen_label)
+        return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) + 1e-32)
+
+    def loss_feat_seen_softmax_weakly_loss(self, outputs, targets, assignments):
+        """criterion.py:542-597: matched seen labels + weak labels elsewhere,
+        confidences as given."""
+        logits = self._seen_logits(outputs, targets)
+        seen_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        seen_confi = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_confi"], assignments["per_prop_gt_inds"]
+        )
+        matched = assignments["proposal_matched_mask"] > 0
+        gt_label = jnp.where(matched, seen_label, targets["weak_box_cate_label"].astype(jnp.int32))
+        confi = jnp.where(matched, seen_confi, targets["weak_confidence_weight"])
+        nll = _cross_entropy(logits, gt_label)
+        return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) + 1e-32)
+
+    def loss_feat_seen_softmax_loss_with_novel_cate_confi(self, outputs, targets, assignments):
+        """criterion.py:690-739: matched-only with per-box confidences (pseudo
+        boxes carry their datalayer confidence)."""
+        logits = self._seen_logits(outputs, targets)
+        seen_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        seen_confi = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_confi"], assignments["per_prop_gt_inds"]
+        )
+        confi = jnp.where(assignments["proposal_matched_mask"] > 0, seen_confi, 0.0)
+        nll = _cross_entropy(logits, seen_label)
+        return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) + 1e-16)
+
+    def loss_batchwise_contrastive(self, outputs, targets, assignments):
+        """CLIP-style symmetric InfoNCE between per-sample pooled image and
+        text features (criterion.py:800-833); needs outputs from the unwired
+        cross-encoder variants -- zero when absent."""
+        text = outputs.get("pooled_updated_text_features")
+        img = outputs.get("image_features_clip")
+        if text is None or img is None:
+            return jnp.float32(0.0)
+        sim = targets["logit_scale"] * img @ text.T
+        labels = jnp.arange(sim.shape[0])
+        logp_i = jax.nn.log_softmax(sim, axis=-1)
+        logp_t = jax.nn.log_softmax(sim.T, axis=-1)
+        loss_i = -jnp.mean(jnp.take_along_axis(logp_i, labels[:, None], 1))
+        loss_t = -jnp.mean(jnp.take_along_axis(logp_t, labels[:, None], 1))
+        return (loss_i + loss_t) / 2.0
+
+    def loss_prompt_softmax(self, outputs, targets, assignments):
+        """Prompt-learning CE (criterion.py:762-781); prompt model outputs."""
+        emb = outputs.get("prompt_text_correlation_embedding")
+        if emb is None:
+            return jnp.float32(0.0)
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32)
+        text = outputs["prompt_text_features_clip"]
+        logits = jnp.einsum("bqc,bkc->bqk", emb, text)[:, 0, :]
+        logits = logits * outputs["prompt_temperature_param"]
+        nll = _cross_entropy(logits, targets["seen_classes"].astype(jnp.int32))
+        return jnp.mean(nll)
+
+    def loss_prompt_sigmoid(self, outputs, targets, assignments):
+        """Prompt-learning focal variant (criterion.py:741-760)."""
+        emb = outputs.get("prompt_text_correlation_embedding")
+        if emb is None:
+            return jnp.float32(0.0)
+        text = outputs["prompt_text_features_clip"]
+        logits = jnp.einsum("bqc,bkc->bqk", emb, text)[:, 0, :]
+        onehot = jax.nn.one_hot(targets["seen_classes"].astype(jnp.int32), 10)
+        return jnp.mean(sigmoid_focal_loss(logits, onehot)) + 0 * outputs[
+            "prompt_temperature_param"
+        ]
 
     # ---------------- assembly ----------------
 

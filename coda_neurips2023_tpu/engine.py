@@ -224,12 +224,25 @@ def train_one_epoch(
         iter_time.update(time.perf_counter() - t0)
         loss_avg.update(loss)
         metrics_out = metrics
-        if logger is not None and it % log_every == 0:
-            logger.log_scalars(
-                {k: float(v) for k, v in metrics.items()},
-                int(state.step),
-                prefix="Train_details/",
+        if it % log_every == 0:
+            # reference engine.py:210-217 per-log_every status line
+            mem = ""
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                if stats:
+                    mem = f"; mem {stats.get('bytes_in_use', 0) / 2**30:.2f}GiB"
+            except Exception:
+                pass
+            print(
+                f"Epoch [{curr_epoch}] iter [{it}] loss {loss_avg.avg:.4f} "
+                f"iter_time {iter_time.avg * 1000:.0f}ms{mem}"
             )
+            if logger is not None:
+                logger.log_scalars(
+                    {k: float(v) for k, v in metrics.items()},
+                    int(state.step),
+                    prefix="Train_details/",
+                )
     return state, metrics_out
 
 

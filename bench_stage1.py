@@ -1,0 +1,86 @@
+"""Stage-1 (CLIP distillation) train-step throughput — two-phase jits."""
+
+import time
+import types
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from coda_neurips2023_tpu.criterion import build_criterion
+    from coda_neurips2023_tpu.datasets.config import (
+        SunrgbdAnonymousConfig,
+        SunrgbdImageConfig,
+    )
+    from coda_neurips2023_tpu.datasets.synthetic import (
+        SyntheticDetectionDataset,
+        collate,
+    )
+    from coda_neurips2023_tpu.engine import create_train_state
+    from coda_neurips2023_tpu.models.model_3detr import CoDA3DETR
+    from coda_neurips2023_tpu.optimizer import build_optimizer
+    from coda_neurips2023_tpu.stages import StageContext
+
+    B, N = 8, 20000
+    cfg = SunrgbdAnonymousConfig()
+    eval_cfg = SunrgbdImageConfig()
+    model = CoDA3DETR(dataset_config=cfg)
+    ds = SyntheticDetectionDataset(
+        cfg, num_scenes=B, num_points=N, with_images=True, image_hw=(531, 730)
+    )
+    batch = collate([ds[i] for i in range(B)])
+    batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+
+    args = types.SimpleNamespace(
+        base_lr=1.97e-4, warm_lr=1e-6, warm_lr_epochs=18, final_lr=1e-6,
+        lr_scheduler="cosine", weight_decay=0.1, filter_biases_wd=False,
+        clip_gradient=0.1, max_epoch=1080,
+        matcher_cls_cost=1, matcher_giou_cost=3, matcher_center_cost=5,
+        matcher_objectness_cost=5,
+        loss_giou_weight=0.0, loss_sem_cls_weight=0.0,
+        loss_sem_cls_softmax_weight=0.0,
+        loss_sem_cls_softmax_skip_none_gt_sample_weight=1.0,
+        loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight=0.0,
+        loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness_weight=0.0,
+        loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness_weight=0.0,
+        loss_sem_cls_softmax_discovery_novel_objectness_weight=0.0,
+        loss_no_object_weight=0.05, loss_no_object_contrast_weight=0.05,
+        loss_angle_cls_weight=0.1, loss_angle_reg_weight=0.5,
+        loss_center_weight=5.0, loss_size_weight=1.0,
+        loss_predicted_region_embed_l1_weight=1.0,
+        loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi_weight=0.0,
+        loss_contrast_object_text=0.0,
+        train_range_max=10, test_range_max=46,
+        confidence_type="non-confidence",
+        if_clip_more_prompts=True, if_clip_superset=False,
+        if_clip_weak_labels=False, distillation_box_num=32,
+        clip_model_path=None, clip_bpe_path=None,
+        online_nms_update_save_novel_label_clip_driven_with_cate_confidence=False,
+        online_nms_update_save_epoch=50,
+        save_objectness=0.3, clip_driven_keep_thres=0.3,
+        if_accumulate_former_pseudo_labels=False,
+        if_keep_box=False,
+    )
+    tx, _ = build_optimizer(args, None, 600)
+    ctx = StageContext(args, eval_cfg)
+    criterion = build_criterion(args, cfg)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = ctx.make_two_phase_train_step(model, criterion, tx)
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    print(f"stage-1 compile+first step: {time.perf_counter()-t0:.0f} s", flush=True)
+    float(m["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"stage-1 train step: {dt*1000:.0f} ms, {B/dt:.1f} scenes/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

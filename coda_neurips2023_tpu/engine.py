@@ -68,6 +68,12 @@ _TARGET_KEYS = (
     "gt_box_present",
     "gt_box_seen_sem_cls_label",
     "gt_box_seen_sem_cls_confi",
+    # produced by the phase-A targets jit in two-phase stage training
+    "gt_text_correlation_embedding",
+    "gt_text_correlation_embedding_mask",
+    "weak_box_cate_label",
+    "weak_confidence_weight",
+    "discovery_novel",
 )
 
 
@@ -87,6 +93,7 @@ def make_train_step(
     tx,
     extra_targets_fn: Optional[Callable] = None,
     return_last_outputs: bool = False,
+    criterion_consts: Optional[dict] = None,
 ):
     """Returns jit(state, batch, rng) -> (state, metrics[, last_outputs]).
 
@@ -107,6 +114,8 @@ def make_train_step(
             mutable=["batch_stats"],
         )
         targets = {k: batch[k] for k in _TARGET_KEYS if k in batch}
+        if criterion_consts:
+            targets.update(criterion_consts)
         if extra_targets_fn is not None:
             targets.update(extra_targets_fn(outputs, batch, rng))
         loss, loss_dict = criterion(outputs, targets)

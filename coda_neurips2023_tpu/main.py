@@ -290,15 +290,19 @@ def do_train(args, ctx):
     # CLIP / open-vocab stage wiring (stage 1: distillation targets inside the
     # train step; stage 2: + weak labels + discovery on save epochs)
     stage_ctx = ctx.get("stage_ctx")
-    extra_targets_fn = stage_ctx.extra_targets_fn() if stage_ctx else None
     run_discovery = (
         stage_ctx is not None
         and args.online_nms_update_save_novel_label_clip_driven_with_cate_confidence
     )
-    train_step = make_train_step(
-        model, criterion, tx, extra_targets_fn=extra_targets_fn,
-        return_last_outputs=run_discovery,
-    )
+    if stage_ctx is not None and stage_ctx.needs_distillation():
+        # two jits: CLIP targets phase + train phase (see stages.py)
+        train_step = stage_ctx.make_two_phase_train_step(
+            model, criterion, tx, return_last_outputs=run_discovery
+        )
+    else:
+        train_step = make_train_step(
+            model, criterion, tx, return_last_outputs=run_discovery
+        )
     discovery = stage_ctx.discovery_fn() if run_discovery else None
     eval_text = stage_ctx.text_banks["test"] if stage_ctx else None
     eval_step = make_eval_step(

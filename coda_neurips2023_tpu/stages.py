@@ -157,6 +157,84 @@ class StageContext:
 
         return fn
 
+    # ------------------------------------------------- two-phase train step
+
+    def criterion_consts(self):
+        return {
+            "text_features_clip": self.train_text_features,
+            "logit_scale": jnp.float32(self.logit_scale),
+        }
+
+    def make_targets_step(self, model):
+        """Phase A of the two-phase stage training: a separate jit computing
+        the CLIP distillation targets from an eval-mode forward.  Splitting
+        keeps each compiled graph small (the fused single-jit variant
+        overwhelms compile servers); since the targets are stop-gradient
+        constants for the loss, the split is semantically equivalent up to
+        the dropout sample used for the crop boxes."""
+        args = self.args
+        text = self.train_text_features
+        scale = jnp.float32(self.logit_scale)
+        clip_fn = self.clip_image_fn
+        n_boxes = args.distillation_box_num
+        weak = args.if_clip_weak_labels
+        crop = self.crop_size
+        if_keep_box = getattr(args, "if_keep_box", False)
+        keep_objectness = getattr(args, "keep_objectness", 0.5)
+        begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
+
+        @jax.jit
+        def targets_step(state, batch, rng):
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "constants": state.constants,
+            }
+            outputs = model.apply(variables, batch, train=False)
+            last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
+            keep_enabled = False
+            if if_keep_box:
+                keep_enabled = batch.get("curr_epoch", jnp.int32(0)) >= begin_keep_epoch
+            return build_clip_distillation_targets(
+                jax.random.fold_in(rng, 7),
+                last,
+                batch,
+                clip_fn,
+                text_features=text,
+                logit_scale=scale,
+                distillation_box_num=n_boxes,
+                if_clip_weak_labels=weak,
+                crop_size=crop,
+                if_keep_box=if_keep_box,
+                keep_objectness=keep_objectness,
+                train_range_max=args.train_range_max,
+                keep_enabled=keep_enabled,
+            )
+
+        return targets_step
+
+    def make_two_phase_train_step(self, model, criterion, tx, return_last_outputs=False):
+        """Python-level step: phase-A targets jit + phase-B train jit."""
+        from coda_neurips2023_tpu.engine import make_train_step
+
+        targets_step = self.make_targets_step(model)
+        train_step = make_train_step(
+            model,
+            criterion,
+            tx,
+            extra_targets_fn=None,
+            return_last_outputs=return_last_outputs,
+            criterion_consts=self.criterion_consts(),
+        )
+
+        def step(state, batch, rng):
+            if "input_image" in batch:
+                targets = targets_step(state, batch, rng)
+                batch = {**batch, **targets}
+            return train_step(state, batch, rng)
+
+        return step
+
     # -------------------------------------------------------- discovery glue
 
     def is_save_epoch(self, curr_epoch: int) -> bool:

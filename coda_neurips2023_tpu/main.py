@@ -282,7 +282,7 @@ def do_train(args, ctx):
     if args.checkpoint_dir:
         start_epoch, best_metrics, state = resume_if_possible(args.checkpoint_dir, state)
     if args.checkpoint_file:
-        state = restore_params_only(args.checkpoint_file, state)
+        state = restore_params_only(args.checkpoint_file, state, model_args=args)
     if args.set_epoch >= 0:
         start_epoch = args.set_epoch - 1
     start_epoch += 1
@@ -415,7 +415,7 @@ def test_model(args, ctx):
     sample = next(iter(loader))
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample)
     if args.test_ckpt:
-        state = restore_params_only(args.test_ckpt, state)
+        state = restore_params_only(args.test_ckpt, state, model_args=args)
     stage_ctx = ctx.get("stage_ctx")
     eval_step = make_eval_step(
         model,
@@ -455,7 +455,7 @@ def run_mode(args, ctx):
     sample_arrays = {k: v for k, v in sample.items() if not isinstance(v, list)}
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample_arrays)
     if args.test_ckpt:
-        state = restore_params_only(args.test_ckpt, state)
+        state = restore_params_only(args.test_ckpt, state, model_args=args)
     out_dir = args.checkpoint_dir or "outputs/modes"
     stage_ctx = ctx.get("stage_ctx")
 

@@ -78,9 +78,35 @@ def resume_if_possible(checkpoint_dir: str, state, filename: str = "checkpoint")
     return int(meta["epoch"]), meta["best_val_metrics"], restored
 
 
-def restore_params_only(checkpoint_path: str, state):
+def restore_params_only(checkpoint_path: str, state, model_args=None):
     """Weights-only restore (the reference's strict=False fallback +
-    `--test_ckpt` load path, io.py:60-68 / main.py:908-909)."""
+    `--test_ckpt` load path, io.py:60-68 / main.py:908-909).
+
+    Accepts either an orbax directory produced by this framework, or a
+    reference `.pth` checkpoint (converted on the fly via
+    utils/torch_convert.py)."""
+    if checkpoint_path.endswith(".pth") or checkpoint_path.endswith(".pt"):
+        from coda_neurips2023_tpu.utils.torch_convert import load_reference_checkpoint
+
+        kw = {}
+        if model_args is not None:
+            kw = dict(
+                enc_nlayers=model_args.enc_nlayers,
+                dec_nlayers=model_args.dec_nlayers,
+                enc_nhead=model_args.enc_nhead,
+                dec_nhead=model_args.dec_nhead,
+            )
+        params, stats, constants, _ = load_reference_checkpoint(checkpoint_path, **kw)
+        import jax.numpy as jnp
+
+        merged_constants = jax.device_get(state.constants)
+        for k, v in constants.items():
+            merged_constants[k] = v
+        return state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, stats),
+            constants=jax.tree.map(jnp.asarray, merged_constants),
+        )
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(checkpoint_path), jax.device_get(state))
     return state.replace(

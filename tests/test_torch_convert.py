@@ -1,0 +1,144 @@
+"""Reference-checkpoint converter: structural compatibility with CoDA3DETR.
+
+Builds a synthetic reference-style state dict for a tiny config (following
+the reference's torch module naming: pointnet2 SharedMLP, torch
+MultiheadAttention, GenericMLP Sequential indices), converts, and checks the
+result drops into the flax model and matches the init tree exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coda_neurips2023_tpu.datasets.config import SunrgbdAnonymousConfig
+from coda_neurips2023_tpu.models.model_3detr import CoDA3DETR
+from coda_neurips2023_tpu.utils.torch_convert import convert_reference_state_dict
+
+ENC_DIM, DEC_DIM = 32, 64
+ENC_L, DEC_L = 2, 3
+ENC_FFN, DEC_FFN = 32, 32
+
+
+def fake_reference_sd():
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def add(name, shape):
+        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    def add_bn(prefix, c):
+        add(prefix + ".weight", (c,))
+        add(prefix + ".bias", (c,))
+        sd[prefix + ".running_mean"] = np.zeros(c, np.float32)
+        sd[prefix + ".running_var"] = np.ones(c, np.float32)
+
+    def add_ln(prefix, c):
+        add(prefix + ".weight", (c,))
+        add(prefix + ".bias", (c,))
+
+    def add_mha(prefix, d):
+        add(prefix + ".in_proj_weight", (3 * d, d))
+        add(prefix + ".in_proj_bias", (3 * d,))
+        add(prefix + ".out_proj.weight", (d, d))
+        add(prefix + ".out_proj.bias", (d,))
+
+    # pre-encoder SharedMLP: dims (3+3?) use_xyz: input 3 -> 64? tiny: 3->8->16->ENC_DIM
+    dims = [3, 64, 128, ENC_DIM]
+    for i in range(3):
+        add(f"pre_encoder.mlp_module.layer{i}.conv.weight", (dims[i + 1], dims[i], 1, 1))
+        add_bn(f"pre_encoder.mlp_module.layer{i}.bn.bn", dims[i + 1])
+
+    for i in range(ENC_L):
+        p = f"encoder.layers.{i}"
+        add_mha(p + ".self_attn", ENC_DIM)
+        add(p + ".linear1.weight", (ENC_FFN, ENC_DIM)); add(p + ".linear1.bias", (ENC_FFN,))
+        add(p + ".linear2.weight", (ENC_DIM, ENC_FFN)); add(p + ".linear2.bias", (ENC_DIM,))
+        add_ln(p + ".norm1", ENC_DIM); add_ln(p + ".norm2", ENC_DIM)
+
+    for i in range(DEC_L):
+        p = f"decoder.layers.{i}"
+        add_mha(p + ".self_attn", DEC_DIM)
+        add_mha(p + ".multihead_attn", DEC_DIM)
+        add(p + ".linear1.weight", (DEC_FFN, DEC_DIM)); add(p + ".linear1.bias", (DEC_FFN,))
+        add(p + ".linear2.weight", (DEC_DIM, DEC_FFN)); add(p + ".linear2.bias", (DEC_DIM,))
+        add_ln(p + ".norm1", DEC_DIM); add_ln(p + ".norm2", DEC_DIM); add_ln(p + ".norm3", DEC_DIM)
+    add_ln("decoder.norm", DEC_DIM)
+
+    # encoder_to_decoder_projection: conv(no bias)+bn+relu x2 + conv(no bias)+bn+relu
+    add("encoder_to_decoder_projection.layers.0.weight", (512, ENC_DIM, 1))
+    add_bn("encoder_to_decoder_projection.layers.1", 512)
+    add("encoder_to_decoder_projection.layers.3.weight", (512, 512, 1))
+    add_bn("encoder_to_decoder_projection.layers.4", 512)
+    add("encoder_to_decoder_projection.layers.6.weight", (DEC_DIM, 512, 1))
+    add_bn("encoder_to_decoder_projection.layers.7", DEC_DIM)
+
+    # query_projection: conv(bias)+act + conv(bias)+act
+    add("query_projection.layers.0.weight", (DEC_DIM, DEC_DIM, 1))
+    add("query_projection.layers.0.bias", (DEC_DIM,))
+    add("query_projection.layers.2.weight", (DEC_DIM, DEC_DIM, 1))
+    add("query_projection.layers.2.bias", (DEC_DIM,))
+
+    heads = {
+        "sem_cls_head": 2, "center_head": 3, "size_head": 3,
+        "angle_cls_head": 12, "angle_residual_head": 12, "text_correlation_head": 512,
+    }
+    for name, out in heads.items():
+        add(f"mlp_heads.{name}.layers.0.weight", (DEC_DIM, DEC_DIM, 1))
+        add_bn(f"mlp_heads.{name}.layers.1", DEC_DIM)
+        add(f"mlp_heads.{name}.layers.4.weight", (DEC_DIM, DEC_DIM, 1))
+        add_bn(f"mlp_heads.{name}.layers.5", DEC_DIM)
+        add(f"mlp_heads.{name}.layers.8.weight", (out, DEC_DIM, 1))
+        add(f"mlp_heads.{name}.layers.8.bias", (out,))
+
+    add("pos_embedding.gauss_B", (3, DEC_DIM // 2))
+    sd["logit_scale"] = np.float32(np.log(100.0))
+    return sd
+
+
+def _paths(tree):
+    return {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_convert_matches_model_tree():
+    sd = fake_reference_sd()
+    params, stats, constants, logit_scale = convert_reference_state_dict(
+        sd, enc_nlayers=ENC_L, dec_nlayers=DEC_L
+    )
+    assert logit_scale == pytest.approx(np.log(100.0))
+
+    cfg = SunrgbdAnonymousConfig()
+    model = CoDA3DETR(
+        dataset_config=cfg, enc_dim=ENC_DIM, dec_dim=DEC_DIM,
+        enc_nlayers=ENC_L, dec_nlayers=DEC_L, enc_ffn_dim=ENC_FFN,
+        dec_ffn_dim=DEC_FFN, preenc_npoints=64, nqueries=16,
+    )
+    rng = np.random.default_rng(1)
+    pc = jnp.asarray(rng.uniform(-3, 3, (2, 256, 3)).astype(np.float32))
+    inputs = {
+        "point_clouds": pc,
+        "point_cloud_dims_min": jnp.min(pc, axis=1),
+        "point_cloud_dims_max": jnp.max(pc, axis=1),
+    }
+    ref = model.init(jax.random.PRNGKey(0), inputs, train=False)
+
+    # exact tree match for every collection
+    assert _paths(ref["params"]) == _paths(params)
+    assert _paths(ref["batch_stats"]) == _paths(stats)
+    assert _paths(ref["constants"]) == _paths(constants)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(ref["params"])[0], key=lambda t: jax.tree_util.keystr(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(params)[0], key=lambda t: jax.tree_util.keystr(t[0])),
+    ):
+        assert np.shape(a) == np.shape(b), (jax.tree_util.keystr(pa), np.shape(a), np.shape(b))
+
+    out = model.apply(
+        {"params": params, "batch_stats": stats, "constants": constants},
+        inputs,
+        train=False,
+    )
+    assert np.all(np.isfinite(np.asarray(out["box_corners"])))

@@ -203,15 +203,22 @@ def train_one_epoch(
     curr_epoch: int = 0,
     log_every: int = 10,
     discovery_fn: Optional[Callable] = None,
+    profile_dir: Optional[str] = None,
 ):
     """Python epoch loop (reference train_one_epoch, engine.py:58-377).
     With discovery_fn (stage-2 save epochs), the step returns the last
     decoder layer's outputs and discovery_fn(last_outputs, host_batch) mines +
-    writes pseudo labels."""
+    writes pseudo labels.  With profile_dir, iterations 2-5 of the epoch are
+    captured with jax.profiler (the reference only has wall-clock meters,
+    engine.py:81-82)."""
     iter_time = SmoothedValue(window_size=10)
     loss_avg = SmoothedValue(window_size=10)
     metrics_out = {}
     for it, host_batch in enumerate(batches):
+        if profile_dir is not None and it == 2:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir is not None and it == 6:
+            jax.profiler.stop_trace()
         t0 = time.perf_counter()
         batch = {k: v for k, v in host_batch.items() if not isinstance(v, list)}
         batch["curr_epoch"] = np.int32(curr_epoch)  # for epoch-gated paths

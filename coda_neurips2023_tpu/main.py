@@ -205,6 +205,8 @@ def make_args_parser():
     parser.add_argument("--log_metrics_every", default=20, type=int)
     parser.add_argument("--save_separate_checkpoint_every_epoch", default=100, type=int)
     parser.add_argument("--log_file", default="log.lst", type=str)
+    parser.add_argument("--profile_dir", default=None, type=str,
+                        help="capture a jax.profiler trace of a few train iterations")
 
     ##### Distributed (compat; SPMD needs no rendezvous) #####
     parser.add_argument("--ngpus", default=1, type=int)
@@ -323,6 +325,7 @@ def do_train(args, ctx):
         state, metrics = train_one_epoch(
             train_step, state, train_loader, rng, mesh=mesh, logger=logger,
             curr_epoch=effective_epoch, log_every=args.log_every,
+            profile_dir=args.profile_dir if epoch == start_epoch else None,
             discovery_fn=(
                 (lambda last, batch: stage_ctx.run_discovery_and_write(discovery, last, batch))
                 if run_discovery and stage_ctx.is_save_epoch(effective_epoch)

@@ -307,14 +307,14 @@ def do_train(args, ctx):
         )
     discovery = stage_ctx.discovery_fn() if run_discovery else None
     eval_text = stage_ctx.text_banks["test"] if stage_ctx else None
-    eval_step = make_eval_step(
-        model,
-        eval_text_features=eval_text,
-        eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
-        clip_crop_fn=(
-            stage_ctx.eval_clip_crop_fn() if (stage_ctx and args.if_with_clip) else None
-        ),
-    )
+    if stage_ctx and args.if_with_clip:
+        eval_step = stage_ctx.make_clip_eval_step(model)
+    else:
+        eval_step = make_eval_step(
+            model,
+            eval_text_features=eval_text,
+            eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+        )
     best_ap25 = -1.0
 
     for epoch in range(start_epoch, args.max_epoch):
@@ -420,14 +420,14 @@ def test_model(args, ctx):
     if args.test_ckpt:
         state = restore_params_only(args.test_ckpt, state, model_args=args)
     stage_ctx = ctx.get("stage_ctx")
-    eval_step = make_eval_step(
-        model,
-        eval_text_features=stage_ctx.text_banks["test"] if stage_ctx else None,
-        eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
-        clip_crop_fn=(
-            stage_ctx.eval_clip_crop_fn() if (stage_ctx and args.if_with_clip) else None
-        ),
-    )
+    if stage_ctx and args.if_with_clip:
+        eval_step = stage_ctx.make_clip_eval_step(model)
+    else:
+        eval_step = make_eval_step(
+            model,
+            eval_text_features=stage_ctx.text_banks["test"] if stage_ctx else None,
+            eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+        )
     ap = evaluate(
         eval_step, state, loader, ctx["real_test_config"], mesh=mesh,
         dataset_name=args.dataset_name,

@@ -142,20 +142,55 @@ class StageContext:
 
         return fn
 
-    def eval_clip_crop_fn(self, bank: str = "test"):
-        """Baseline-head eval classifier (--if_with_clip): crop every
-        predicted box and zero-shot classify against the text bank."""
+    def make_clip_eval_step(self, model, bank: str = "test"):
+        """Baseline-head eval step (--if_with_clip): crop every predicted box
+        and CLIP-zero-shot classify (reference clip_to_class_training,
+        model_3detr.py:557-900).  CLIP weights are jit ARGUMENTS (see
+        make_targets_step for why)."""
         from coda_neurips2023_tpu.models.distillation import clip_crop_scores
 
-        text = self.text_banks[bank]
         scale = jnp.float32(self.logit_scale)
-        clip_fn = self.clip_image_fn
+        clip_model = self.clip_model
         crop = self.crop_size
 
-        def fn(outputs_last, batch):
-            return clip_crop_scores(outputs_last, batch, clip_fn, text, scale, crop)
+        @jax.jit
+        def impl(state, batch, clip_vars, text_bank):
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "constants": state.constants,
+            }
+            outputs = model.apply(variables, batch, train=False)
+            last = {
+                k: v[-1]
+                for k, v in outputs.items()
+                if k not in ("query_xyz", "enc_xyz", "enc_inds")
+            }
 
-        return fn
+            def clip_arg_fn(images):
+                return jax.lax.stop_gradient(
+                    clip_model.apply(clip_vars, images, method=clip_model.encode_image)
+                )
+
+            last["sem_cls_prob"] = clip_crop_scores(
+                last, batch, clip_arg_fn, text_bank, scale, crop
+            )
+            return {
+                "box_corners": last["box_corners"],
+                "sem_cls_prob": last["sem_cls_prob"],
+                "objectness_prob": last["objectness_prob"],
+                "center_unnormalized": last["center_unnormalized"],
+                "size_unnormalized": last["size_unnormalized"],
+                "angle_continuous": last["angle_continuous"],
+            }
+
+        clip_vars_device = jax.device_put(self.clip_variables)
+        text_device = jax.device_put(self.text_banks[bank])
+
+        def eval_step(state, batch):
+            return impl(state, batch, clip_vars_device, text_device)
+
+        return eval_step
 
     # ------------------------------------------------- two-phase train step
 
@@ -183,8 +218,14 @@ class StageContext:
         keep_objectness = getattr(args, "keep_objectness", 0.5)
         begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
 
+        clip_model = self.clip_model
+
+        # CLIP weights and the text bank are traced ARGUMENTS, not closures:
+        # closed-over weights get baked into the HLO as literals (hundreds of
+        # MB for ViT-B/16), which overflows the compile service's request
+        # limit (HTTP 413).
         @jax.jit
-        def targets_step(state, batch, rng):
+        def targets_step_impl(state, batch, rng, clip_vars, text_bank):
             variables = {
                 "params": state.params,
                 "batch_stats": state.batch_stats,
@@ -195,12 +236,18 @@ class StageContext:
             keep_enabled = False
             if if_keep_box:
                 keep_enabled = batch.get("curr_epoch", jnp.int32(0)) >= begin_keep_epoch
+
+            def clip_arg_fn(images):
+                return jax.lax.stop_gradient(
+                    clip_model.apply(clip_vars, images, method=clip_model.encode_image)
+                )
+
             return build_clip_distillation_targets(
                 jax.random.fold_in(rng, 7),
                 last,
                 batch,
-                clip_fn,
-                text_features=text,
+                clip_arg_fn,
+                text_features=text_bank,
                 logit_scale=scale,
                 distillation_box_num=n_boxes,
                 if_clip_weak_labels=weak,
@@ -210,6 +257,12 @@ class StageContext:
                 train_range_max=args.train_range_max,
                 keep_enabled=keep_enabled,
             )
+
+        clip_vars_device = jax.device_put(self.clip_variables)
+        text_device = jax.device_put(text)
+
+        def targets_step(state, batch, rng):
+            return targets_step_impl(state, batch, rng, clip_vars_device, text_device)
 
         return targets_step
 
@@ -253,21 +306,33 @@ class StageContext:
             else self.text_banks["test"]
         )
         scale = jnp.float32(self.logit_scale)
-        clip_fn = self.clip_image_fn
+        clip_model = self.clip_model
+        crop = self.crop_size
 
         @jax.jit
-        def fn(last_outputs, batch):
+        def fn_impl(last_outputs, batch, clip_vars, text_bank):
+            def clip_arg_fn(images):
+                return jax.lax.stop_gradient(
+                    clip_model.apply(clip_vars, images, method=clip_model.encode_image)
+                )
+
             return discover_novel_boxes(
                 last_outputs,
                 batch,
-                clip_fn,
-                superset,
+                clip_arg_fn,
+                text_bank,
                 scale,
                 train_range_max=args.train_range_max,
                 save_objectness=args.save_objectness,
                 clip_driven_keep_thres=args.clip_driven_keep_thres,
-                crop_size=self.crop_size,
+                crop_size=crop,
             )
+
+        clip_vars_device = jax.device_put(self.clip_variables)
+        text_device = jax.device_put(superset)
+
+        def fn(last_outputs, batch):
+            return fn_impl(last_outputs, batch, clip_vars_device, text_device)
 
         return fn
 

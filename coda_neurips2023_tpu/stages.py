@@ -36,7 +36,16 @@ class StageContext:
                  crop_size: int = 224):
         self.args = args
         self.crop_size = crop_size
-        self.clip_model = clip_model if clip_model is not None else CLIP()
+        if clip_model is None:
+            import jax.numpy as _jnp
+
+            dtype = (
+                _jnp.bfloat16
+                if getattr(args, "compute_dtype", "float32") in ("bf16", "bfloat16")
+                else _jnp.float32
+            )
+            clip_model = CLIP(dtype=dtype)
+        self.clip_model = clip_model
         self.clip_variables = None
         self.logit_scale = 100.0
         path = getattr(args, "clip_model_path", None)

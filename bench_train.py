@@ -30,7 +30,6 @@ def main():
     from coda_neurips2023_tpu.engine import create_train_state, make_train_step
     from coda_neurips2023_tpu.models.model_3detr import CoDA3DETR
     from coda_neurips2023_tpu.optimizer import build_optimizer
-    from coda_neurips2023_tpu.stages import StageContext
 
     B, N = 8, 20000
     cfg = SunrgbdAnonymousConfig()
@@ -88,9 +87,9 @@ def main():
     base_args = types.SimpleNamespace(**vars(args))
     base_args.loss_predicted_region_embed_l1_weight = 0.0
     timed("baseline train step", base_args, None)
-
-    ctx = StageContext(args, eval_cfg)
-    timed("stage-1 train step (with CLIP distillation)", args, ctx.extra_targets_fn())
+    # stage-1 (CLIP distillation) timing lives in bench_stage1.py: it uses the
+    # two-phase jits (a single fused jit would bake the CLIP weights into the
+    # HLO and overflow the compile service).
 
 
 if __name__ == "__main__":

@@ -135,6 +135,15 @@ def parse_predictions(
             )
             pred_mask[i, live[pick]] = 1
     else:
+        native_nms = None
+        if config_dict["cls_nms"]:
+            try:
+                from coda_neurips2023_tpu import native
+
+                if native.available():
+                    native_nms = native.nms_3d_samecls
+            except Exception:
+                native_nms = None
         for i in range(bsize):
             cols = [xmin[i], ymin[i], zmin[i], xmax[i], ymax[i], zmax[i], obj_prob[i]]
             if config_dict["cls_nms"]:
@@ -144,9 +153,16 @@ def parse_predictions(
                 nms_fn = nms_3d_faster
             boxes3d = np.stack(cols, axis=1)
             live = np.where(nonempty_box_mask[i] == 1)[0]
-            pick = nms_fn(
-                boxes3d[live], config_dict["nms_iou"], config_dict["use_old_type_nms"]
-            )
+            if native_nms is not None:
+                pick = native_nms(
+                    boxes3d[live].astype(np.float32),
+                    config_dict["nms_iou"],
+                    config_dict["use_old_type_nms"],
+                )
+            else:
+                pick = nms_fn(
+                    boxes3d[live], config_dict["nms_iou"], config_dict["use_old_type_nms"]
+                )
             pred_mask[i, live[pick]] = 1
 
     batch_pred_map_cls = []

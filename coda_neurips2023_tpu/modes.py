@@ -104,11 +104,18 @@ def save_seen_feats(model, state, batches, stage_ctx, out_dir: str):
     from coda_neurips2023_tpu.ops.projection import corners_to_image_rects
 
     os.makedirs(out_dir, exist_ok=True)
-    clip_fn = stage_ctx.clip_image_fn
+    clip_model = stage_ctx.clip_model
     crop_size = stage_ctx.crop_size
+    clip_vars_device = jax.device_put(stage_ctx.clip_variables)
 
+    # CLIP weights are a jit ARGUMENT (closures bake them into the HLO and
+    # overflow the compile service, see stages.make_targets_step)
     @jax.jit
-    def gt_embeddings(batch):
+    def gt_embeddings(batch, clip_vars):
+        def clip_fn(images):
+            return jax.lax.stop_gradient(
+                clip_model.apply(clip_vars, images, method=clip_model.encode_image)
+            )
         corners = batch["gt_box_corners_xyz"]
         b, k = corners.shape[:2]
         rects, depth = corners_to_image_rects(
@@ -130,7 +137,7 @@ def save_seen_feats(model, state, batches, stage_ctx, out_dir: str):
     n = 0
     for batch in batches:
         device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
-        emb = np.asarray(gt_embeddings(device_batch))
+        emb = np.asarray(gt_embeddings(device_batch, clip_vars_device))
         present = np.asarray(batch["gt_box_present"])
         for i in range(emb.shape[0]):
             scan = int(np.asarray(batch["scan_idx"])[i])

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NC = 4096  # points per chunk (lanes)
+_NC = 2048  # points per chunk (lanes)
 _TM = 8  # centers per grid step (sublanes)
 
 

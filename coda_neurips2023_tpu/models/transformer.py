@@ -127,14 +127,11 @@ class MaskedTransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             mask = None
             if self.masking_radius[i] > 0:
-                dist = jnp.sqrt(
-                    jnp.maximum(
-                        jnp.sum(
-                            (xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1
-                        ),
-                        0.0,
-                    )
-                )
+                # |a-b|^2 via the MXU (never materializes (B, S, S, 3))
+                sq = jnp.sum(xyz * xyz, axis=-1)
+                cross = jnp.einsum("bnd,bmd->bnm", xyz, xyz)
+                d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2 * cross, 0.0)
+                dist = jnp.sqrt(d2)
                 # reference quirk: euclidean distance vs squared radius
                 allowed = dist < self.masking_radius[i]
                 mask = allowed[:, None, :, :]  # (B, 1, S, S) broadcast over heads

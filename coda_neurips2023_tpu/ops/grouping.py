@@ -85,7 +85,7 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     return flat.reshape(b, m, k, features.shape[-1])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def query_and_group(
     radius: float,
     nsample: int,

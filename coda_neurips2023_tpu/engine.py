@@ -153,6 +153,7 @@ def make_eval_step(
     eval_text_features=None,
     eval_logit_scale: float = 100.0,
     clip_crop_fn: Optional[Callable] = None,
+    eval_layer_id: int = -1,
 ):
     """Returns jit(state, batch) -> outputs for the APCalculator.
 
@@ -161,7 +162,9 @@ def make_eval_step(
     model_3detr.py:1742-1764) -- no CLIP forward at eval.  With
     `clip_crop_fn(outputs_last, batch)` instead, predicted boxes are cropped
     and CLIP-zero-shot classified (the baseline head's --if_with_clip eval,
-    clip_to_class_training, model_3detr.py:557-900).
+    clip_to_class_training, model_3detr.py:557-900).  `eval_layer_id` selects
+    which decoder layer's outputs are evaluated (reference --eval_layer_id,
+    get_class_scores model_3detr.py:1747-1750; -1 = final).
     """
 
     @jax.jit
@@ -172,7 +175,11 @@ def make_eval_step(
             "constants": state.constants,
         }
         outputs = model.apply(variables, batch, train=False)
-        last = {k: v[-1] for k, v in outputs.items() if k not in ("query_xyz", "enc_xyz", "enc_inds")}
+        last = {
+            k: v[eval_layer_id]
+            for k, v in outputs.items()
+            if k not in ("query_xyz", "enc_xyz", "enc_inds")
+        }
         if clip_crop_fn is not None:
             last["sem_cls_prob"] = clip_crop_fn(last, batch)
         elif eval_text_features is not None:

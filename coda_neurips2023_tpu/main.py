@@ -314,6 +314,7 @@ def do_train(args, ctx):
             model,
             eval_text_features=eval_text,
             eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+            eval_layer_id=args.eval_layer_id,
         )
     best_ap25 = -1.0
 
@@ -427,6 +428,7 @@ def test_model(args, ctx):
             model,
             eval_text_features=stage_ctx.text_banks["test"] if stage_ctx else None,
             eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+            eval_layer_id=args.eval_layer_id,
         )
     ap = evaluate(
         eval_step, state, loader, ctx["real_test_config"], mesh=mesh,
@@ -481,6 +483,7 @@ def run_mode(args, ctx):
             model,
             eval_text_features=stage_ctx.text_banks["test"] if stage_ctx else None,
             eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
+            eval_layer_id=args.eval_layer_id,
         )
         confusion = modes.calculate_class_confusion(
             eval_step, state, loader, args.test_num_semcls

@@ -95,6 +95,7 @@ def clip_crop_scores(
     text_features: jnp.ndarray,
     logit_scale,
     crop_size: int = 224,
+    expand_box: bool = False,
 ):
     """Eval-time CLIP zero-shot classification of ALL predicted boxes
     (reference clip_to_class_training, model_3detr.py:557-900: used by the
@@ -104,6 +105,9 @@ def clip_crop_scores(
     rect, behind camera) keep zero scores like the reference's zero-init.
     Batch rows are processed under lax.map so the (nq, S, S, 3) crop tensor
     exists for one sample at a time (the reference loops samples too).
+    With `expand_box` (--if_expand_box, model_3detr.py:750-762) the shorter
+    rect side is grown to a square (centered, clamped to image bounds) before
+    cropping, instead of white-padding the rectangular crop.
     """
     corners_xyz = outputs_last["box_corners_xyz"]
     size_unnorm = outputs_last["size_unnormalized"]
@@ -127,6 +131,26 @@ def clip_crop_scores(
         batch.get("image_flip_array", jnp.ones((b,))),
         batch.get("flip_length", batch["ori_width"]),
     )
+    if expand_box:
+        # grow the shorter side to a square around the same center, clamp to
+        # the padded image bounds (reference expands BEFORE the degeneracy
+        # check, so expansion can rescue a zero-width rect)
+        xmin, ymin, xmax, ymax = (rects[..., i] for i in range(4))
+        bw = xmax - xmin
+        bh = ymax - ymin
+        dx = jnp.where(bh > bw, (bh - bw) // 2, 0)
+        dy = jnp.where(bh > bw, 0, (bw - bh) // 2)
+        img_h = batch["input_image"].shape[1]
+        img_w = batch["input_image"].shape[2]
+        rects = jnp.stack(
+            [
+                jnp.clip(xmin - dx, 0, img_w),
+                jnp.clip(ymin - dy, 0, img_h),
+                jnp.clip(xmax + dx, 0, img_w),
+                jnp.clip(ymax + dy, 0, img_h),
+            ],
+            axis=-1,
+        )
     valid = (
         (jnp.max(size_unnorm, axis=-1) >= 1e-16)
         & (rects[..., 2] - rects[..., 0] > 0)

@@ -162,6 +162,9 @@ class StageContext:
         clip_model = self.clip_model
         crop = self.crop_size
 
+        if_use_gt_box = getattr(self.args, "if_use_gt_box", False)
+        if_expand_box = getattr(self.args, "if_expand_box", False)
+
         @jax.jit
         def impl(state, batch, clip_vars, text_bank):
             variables = {
@@ -175,6 +178,24 @@ class StageContext:
                 for k, v in outputs.items()
                 if k not in ("query_xyz", "enc_xyz", "enc_inds")
             }
+            if if_use_gt_box:
+                # ceiling experiment (--if_use_gt_box, model_3detr.py:560-581):
+                # classify GT boxes instead of predictions
+                nq = last["objectness_prob"].shape[1]
+                mo = batch["gt_box_corners"].shape[1]
+                pad = max(nq - mo, 0)
+
+                def pad_to_nq(x):
+                    widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+                    return jnp.pad(x, widths)[:, :nq]
+
+                last = dict(last)
+                last["box_corners"] = pad_to_nq(batch["gt_box_corners"])
+                last["box_corners_xyz"] = pad_to_nq(batch["gt_box_corners_xyz"])
+                last["center_unnormalized"] = pad_to_nq(batch["gt_box_centers"])
+                last["size_unnormalized"] = pad_to_nq(batch["gt_box_sizes"])
+                last["angle_continuous"] = pad_to_nq(batch["gt_box_angles"])
+                last["objectness_prob"] = pad_to_nq(batch["gt_box_present"])
 
             def clip_arg_fn(images):
                 return jax.lax.stop_gradient(
@@ -182,7 +203,8 @@ class StageContext:
                 )
 
             last["sem_cls_prob"] = clip_crop_scores(
-                last, batch, clip_arg_fn, text_bank, scale, crop
+                last, batch, clip_arg_fn, text_bank, scale, crop,
+                expand_box=if_expand_box,
             )
             return {
                 "box_corners": last["box_corners"],

@@ -127,6 +127,55 @@ def test_stage2_weakly_loss_and_discovery(stage1_setup, tmp_path):
             assert rows.shape[1] == 10
 
 
+def test_clip_eval_step_gt_box_and_expand(stage1_setup):
+    """--if_use_gt_box / --if_expand_box ceiling-experiment eval variants."""
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args(if_use_gt_box=True, if_expand_box=True)
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    tx, _ = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    eval_step = ctx.make_clip_eval_step(model)
+    out = jax.device_get(eval_step(state, batch))
+    nq = 16
+    assert out["box_corners"].shape[:2] == (2, nq)
+    assert out["sem_cls_prob"].shape[:2] == (2, nq)
+    assert np.all(np.isfinite(out["sem_cls_prob"]))
+    # GT geometry must be passed through: first gt box corners match
+    ngt = int(np.sum(np.asarray(batch["gt_box_present"])[0]))
+    if ngt > 0:
+        np.testing.assert_allclose(
+            out["box_corners"][0, :ngt],
+            np.asarray(batch["gt_box_corners"])[0, :ngt],
+            rtol=1e-5,
+        )
+    # objectness is the GT present mask (padded/truncated to nq)
+    present = np.asarray(batch["gt_box_present"])[0]
+    expect = np.zeros(nq, np.float32)
+    expect[: min(nq, present.shape[0])] = present[:nq]
+    np.testing.assert_allclose(out["objectness_prob"][0], expect)
+
+
+def test_eval_layer_id_selects_decoder_layer(stage1_setup):
+    """--eval_layer_id: evaluating layer 0 differs from the final layer."""
+    from coda_neurips2023_tpu.engine import make_eval_step
+
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args()
+    tx, _ = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    import jax.numpy as jnp
+
+    text = jnp.ones((cfg.num_semcls, 512), jnp.float32)
+    out_last = jax.device_get(
+        make_eval_step(model, eval_text_features=text)(state, batch)
+    )
+    out_l0 = jax.device_get(
+        make_eval_step(model, eval_text_features=text, eval_layer_id=0)(state, batch)
+    )
+    assert out_last["box_corners"].shape == out_l0["box_corners"].shape
+    assert not np.allclose(out_last["box_corners"], out_l0["box_corners"])
+
+
 def _crit_args(args):
     # criterion builder reads a couple of extra flag names
     args = types.SimpleNamespace(**vars(args))

@@ -143,6 +143,7 @@ class SetCriterion:
             "loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness,
             "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness,
             "loss_sem_cls_softmax_discovery_novel_objectness": self.loss_sem_cls_softmax_discovery_novel_objectness,
+            "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample": self.loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample,
             "loss_angle": self.loss_angle,
             "loss_center": self.loss_center,
             "loss_size": self.loss_size,
@@ -235,6 +236,31 @@ class SetCriterion:
         nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)
         n_disc = jnp.sum(disc, axis=1) if disc is not None else 0.0
         has_obj = ((targets["nactual_gt"] + n_disc) > 0).astype(nll.dtype)
+        per_sample = jnp.sum(nll, axis=1) * has_obj
+        return jnp.sum(per_sample) / (jnp.sum(has_obj) * nll.shape[1] + 1e-32)
+
+    def loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample(
+        self, outputs, targets, assignments
+    ):
+        """criterion.py:248-278: skip_none_gt_sample CE where proposals flagged
+        by a 2D-IoU `novel_box_judge` signal get class 0, and scenes count as
+        non-empty when they have any judged box.  The reference never produces
+        `novel_box_judge` in shipped models (the key is read from the model's
+        outputs when present, criterion.py:1202-1203); absent here it defaults
+        to zeros, reducing to the plain skip_none_gt_sample loss."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        judge = targets.get("novel_box_judge", outputs.get("novel_box_judge"))
+        if judge is None:
+            judge = jnp.zeros(gt_label.shape, jnp.float32)
+        gt_label = jnp.where(judge > 0, 0, gt_label)
+        nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)
+        n_judged = jnp.sum(judge, axis=1)
+        has_obj = ((targets["nactual_gt"] + n_judged) > 0).astype(nll.dtype)
         per_sample = jnp.sum(nll, axis=1) * has_obj
         return jnp.sum(per_sample) / (jnp.sum(has_obj) * nll.shape[1] + 1e-32)
 
@@ -618,6 +644,9 @@ def build_criterion(args, dataset_config):
         ),
         "loss_sem_cls_softmax_discovery_novel_objectness_weight": g(
             "loss_sem_cls_softmax_discovery_novel_objectness_weight"
+        ),
+        "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight": g(
+            "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight"
         ),
         "loss_no_object_weight": args.loss_no_object_weight,
         "loss_no_object_contrast_weight": args.loss_no_object_contrast_weight,

@@ -146,3 +146,33 @@ def test_lr_schedule_matches_reference_formula():
         got = float(sched(step))
         want = ref_lr(step / 100)
         assert got == pytest.approx(want, rel=1e-5), (step, got, want)
+
+
+def test_2d_box_iou_supervised_loss_matches_skip_none_when_no_judge():
+    """With no novel_box_judge signal, the 2d-box-iou-supervised CE reduces to
+    the plain skip_none_gt_sample CE (reference criterion.py:248-278 with
+    novel_box_judge == 0 everywhere)."""
+    cfg, model, batch, _, tx = tiny_setup(batch_size=4)
+    matcher = Matcher(cost_class=1, cost_objectness=5, cost_giou=3, cost_center=5)
+    crit = SetCriterion(
+        matcher,
+        cfg,
+        {
+            "loss_sem_cls_softmax_skip_none_gt_sample_weight": 1.0,
+            "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight": 1.0,
+            "loss_no_object_weight": 0.05,
+            "loss_no_object_contrast_weight": 0.05,
+        },
+    )
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    variables = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "constants": state.constants,
+    }
+    dev_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    outputs = model.apply(variables, dev_batch, train=False)
+    _, loss_dict = jax.jit(crit)(outputs, dev_batch)
+    a = float(loss_dict["loss_sem_cls_softmax_skip_none_gt_sample"])
+    b = float(loss_dict["loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -84,11 +84,13 @@ def build_dataset(args):
         mk = functools.partial(
             SyntheticDetectionDataset, num_points=getattr(args, "num_points", 20000)
         )
+        n = getattr(args, "synthetic_num_scenes", 256) or 256
+        n_eval = max(n // 4, 2)
         datasets = {
-            "train": mk(cfg, num_scenes=256, seed=args.seed),
-            "test": mk(cfg, num_scenes=64, seed=args.seed + 1),
-            "real_test": mk(real_cfg, num_scenes=64, seed=args.seed + 2),
-            "real_cmp_test": mk(real_cfg, num_scenes=64, seed=args.seed + 3),
+            "train": mk(cfg, num_scenes=n, seed=args.seed),
+            "test": mk(cfg, num_scenes=n_eval, seed=args.seed + 1),
+            "real_test": mk(real_cfg, num_scenes=n_eval, seed=args.seed + 2),
+            "real_cmp_test": mk(real_cfg, num_scenes=n_eval, seed=args.seed + 3),
         }
         return datasets, cfg, real_cfg, real_cfg
 

@@ -176,6 +176,8 @@ def make_args_parser():
     parser.add_argument("--image_size_width", default=730, type=int)
     parser.add_argument("--image_size_height", default=531, type=int)
     parser.add_argument("--num_points", default=20000, type=int)
+    # ours: scene count for the data-free synthetic fallback dataset
+    parser.add_argument("--synthetic_num_scenes", default=256, type=int)
 
     ##### Training #####
     parser.add_argument("--start_epoch", default=-1, type=int)
@@ -316,6 +318,19 @@ def do_train(args, ctx):
             eval_logit_scale=stage_ctx.logit_scale if stage_ctx else 100.0,
             eval_layer_id=args.eval_layer_id,
         )
+    # cmp-vocab eval step (reference if_cmp_class=True path, main.py:530-566):
+    # same model, classification against the OV-3DETR comparison vocabulary
+    cmp_eval_step = None
+    if stage_ctx and len(datasets.get("real_cmp_test", [])):
+        if args.if_with_clip:
+            cmp_eval_step = stage_ctx.make_clip_eval_step(model, bank="cmp")
+        else:
+            cmp_eval_step = make_eval_step(
+                model,
+                eval_text_features=stage_ctx.text_banks["cmp"],
+                eval_logit_scale=stage_ctx.logit_scale,
+                eval_layer_id=args.eval_layer_id,
+            )
     best_ap25 = -1.0
 
     for epoch in range(start_epoch, args.max_epoch):
@@ -348,16 +363,27 @@ def do_train(args, ctx):
                     args.checkpoint_dir, state, epoch, filename=f"checkpoint_{epoch:04d}"
                 )
 
-        if (epoch + 1) % args.real_eval_every_epoch == 0 and len(datasets["real_test"]):
+        last_epoch = epoch == args.max_epoch - 1
+
+        # OV test-split eval + best-checkpoint tracking
+        # (reference main.py:463-501: cadence eval_every_epoch on the
+        # anonymous/OV config; checkpoint_best follows THIS split's ap25)
+        if (
+            ((epoch % args.eval_every_epoch == 0 and epoch > 0) or last_epoch)
+            and len(datasets["test"])
+        ):
             test_loader = make_loader(
-                datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False
+                datasets["test"], args.batchsize_per_gpu_test, shuffle=False
             )
             ap = evaluate(
-                eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
+                eval_step, state, test_loader, ctx["dataset_config"], mesh=mesh,
                 dataset_name=args.dataset_name,
             )
             m = ap.compute_metrics()
-            print(ap.metrics_to_str(m, per_class=False))
+            print("==" * 10)
+            print(f"Evaluate Epoch [{epoch}/{args.max_epoch}]")
+            print(ap.metrics_to_str(m, per_class=True))
+            print("==" * 10)
             ap25 = m[0.25].get("mAP", 0.0)
             logger.log_scalars({"mAP25": ap25}, epoch, prefix="Test/")
             if ap25 > best_ap25 and args.checkpoint_dir:
@@ -365,6 +391,59 @@ def do_train(args, ctx):
                 save_checkpoint(
                     args.checkpoint_dir, state, epoch, {"ap25": ap25}, "checkpoint_best"
                 )
+
+        # closed-vocab real_test eval (reference main.py:504-528; if_real_test)
+        if (
+            ((epoch % args.real_eval_every_epoch == 0 and epoch > 0) or last_epoch)
+            and len(datasets["real_test"])
+        ):
+            test_loader = make_loader(
+                datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False
+            )
+            ap = evaluate(
+                eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
+                dataset_name=args.dataset_name,
+            )
+            msg = ap.metrics_to_str(ap.compute_metrics(), per_class=False)
+            print(msg)
+            if args.checkpoint_dir:
+                with open(
+                    os.path.join(args.checkpoint_dir, "eval_%04d.lst" % epoch), "w"
+                ) as f:
+                    f.write(msg)
+
+        # comparison-vocab eval + excel export (reference main.py:530-566).
+        # Deviation: the reference also fires this on the final epoch even at
+        # the disabled default cadence (1e9); we require the cadence to be
+        # explicitly enabled (<= max_epoch) so default runs don't pay a
+        # surprise full cmp-vocab eval.
+        if (
+            cmp_eval_step is not None
+            and ((epoch % args.real_cmp_eval_every_epoch == 0 and epoch > 0) or last_epoch)
+            and args.real_cmp_eval_every_epoch <= args.max_epoch
+        ):
+            cmp_loader = make_loader(
+                datasets["real_cmp_test"], args.batchsize_per_gpu_test, shuffle=False
+            )
+            ap = evaluate(
+                cmp_eval_step, state, cmp_loader, ctx["real_cmp_config"], mesh=mesh,
+                dataset_name=args.dataset_name,
+            )
+            m = ap.compute_metrics()
+            msg = ap.metrics_to_str(m)
+            print(msg)
+            if args.checkpoint_dir:
+                for thresh, suffix in ((0.25, "025"), (0.5, "05")):
+                    _export_metrics_excel(
+                        {thresh: m[thresh]},
+                        os.path.join(
+                            args.checkpoint_dir, f"cmp_eval_{epoch:04d}_{suffix}.xlsx"
+                        ),
+                    )
+                with open(
+                    os.path.join(args.checkpoint_dir, "cmp_eval_%04d.lst" % epoch), "w"
+                ) as f:
+                    f.write(msg)
 
     if args.checkpoint_dir:
         save_checkpoint(args.checkpoint_dir, state, args.max_epoch - 1, filename="last_checkpoint")

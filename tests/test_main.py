@@ -126,3 +126,34 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves_b = jax.tree.leaves(restored.params)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_do_train_smoke_with_eval_cadences(tmp_path):
+    """do_train end-to-end on synthetic data: test/real_test/cmp eval blocks,
+    checkpoints, final_eval artifacts (reference main.py:307-623)."""
+    import os
+
+    from coda_neurips2023_tpu.main import do_train
+
+    args = tiny_args(
+        [
+            "--synthetic_num_scenes", "8",
+            "--checkpoint_dir", str(tmp_path),
+            "--eval_every_epoch", "1",
+            "--real_eval_every_epoch", "1",
+            "--real_cmp_eval_every_epoch", "1",
+            "--log_every", "1",
+        ]
+    )
+    ctx = build_everything(args)
+    state = do_train(args, ctx)
+    assert int(state.step) > 0
+    files = set(os.listdir(tmp_path))
+    assert "final_eval.txt" in files
+    assert "final_eval.pkl" in files
+    assert "last_checkpoint" in files or any(f.startswith("checkpoint") for f in files)
+    # cadence evals at epoch 1 (> 0) write the .lst artifacts
+    assert "eval_0001.lst" in files
+    assert "cmp_eval_0001.lst" in files
+    # best checkpoint tracked on the OV test split
+    assert "checkpoint_best" in files

@@ -18,6 +18,13 @@ Instead of the CUDA per-center scan over all N points, we compute the dense
 recover the "first nsample hits in index order" with a single top-k over an
 order-encoding integer key.  Batch rows are processed under `lax.map` to
 bound the transient (M, N) buffer to one scene at a time.
+
+Float caveat: this MXU distance form rounds differently from the CUDA
+kernel's direct (a-b)^2 sums, so a point lying exactly at the r^2 boundary
+can flip between hit/miss relative to the reference (and relative to the
+pallas kernel, which uses direct diffs and is bit-faithful to CUDA).  The
+probability is measure-zero for real data; tests compare each backend
+against an oracle using its own distance formulation.
 """
 
 from __future__ import annotations

@@ -385,7 +385,7 @@ def do_train(args, ctx):
             print(ap.metrics_to_str(m, per_class=True))
             print("==" * 10)
             ap25 = m[0.25].get("mAP", 0.0)
-            logger.log_scalars({"mAP25": ap25}, epoch, prefix="Test/")
+            logger.log_scalars(ap.metrics_to_dict(m), epoch, prefix="Test/")
             if ap25 > best_ap25 and args.checkpoint_dir:
                 best_ap25 = ap25
                 save_checkpoint(

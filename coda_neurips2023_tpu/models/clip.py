@@ -115,6 +115,45 @@ class VisionTransformer(nn.Module):
         return (x @ proj.astype(x.dtype)).astype(jnp.float32)
 
 
+def _insert_prompt_embeddings(x_ori, tokens, former, later):
+    """Vectorized re-arrangement [SOT, former, name-tokens, later, EOT, pad]
+    of per-row token embeddings (reference does a python loop over the batch,
+    CLIP/clip/model.py:1095-1114).  Row lengths are traced (argmax of token
+    ids); prompt lengths are static."""
+    lf = 0 if former is None else former.shape[0]
+    ll = 0 if later is None else later.shape[0]
+    if lf == 0 and ll == 0:
+        return x_ori
+    _, seq_len, _ = x_ori.shape
+    lt = (jnp.argmax(tokens, axis=-1) + 1)[:, None]  # (B, 1) incl. SOT+EOT
+    p = jnp.arange(seq_len)[None, :]  # (1, L)
+    in_former = jnp.logical_and(p >= 1, p <= lf)
+    in_later = jnp.logical_and(p >= lf + lt - 1, p <= lf + lt - 2 + ll)
+    # source index into the original row for the non-prompt positions:
+    # SOT at 0; name tokens shifted by lf; EOT shifted by lf+ll; the tail
+    # takes x_ori[lt+lf+ll:] UNSHIFTED (the reference drops the lf+ll
+    # displaced padding embeddings, model.py:1113)
+    src = jnp.where(
+        p == 0,
+        0,
+        jnp.where(
+            p <= lf + lt - 2,
+            p - lf,
+            jnp.where(p == lf + ll + lt - 1, p - lf - ll, p),
+        ),
+    )
+    src = jnp.clip(src, 0, seq_len - 1)
+    out = jnp.take_along_axis(x_ori, src[..., None], axis=1)
+    if lf:
+        fvals = former[jnp.clip(p - 1, 0, lf - 1)]  # (1, L, W)
+        out = jnp.where(in_former[..., None], fvals.astype(out.dtype), out)
+    if ll:
+        lidx = jnp.clip(p - (lf + lt - 1), 0, ll - 1)  # (B, L)
+        lvals = later[lidx]
+        out = jnp.where(in_later[..., None], lvals.astype(out.dtype), out)
+    return out
+
+
 class TextTransformer(nn.Module):
     context_length: int = 77
     vocab_size: int = 49408
@@ -125,11 +164,20 @@ class TextTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, text_tokens):
+    def __call__(self, text_tokens, prompt_former=None, prompt_later=None):
         """text_tokens: (B, 77) int32 -> (B, output_dim). Pools at the argmax
-        token (the EOT token has the highest id in CLIP BPE)."""
+        token (the EOT token has the highest id in CLIP BPE).
+
+        With prompt_former/prompt_later ((Lf, W)/(Ll, W) arrays of learned
+        prompt embeddings), the token-embedding sequence is rearranged to
+        [SOT, former..., name-tokens, later..., EOT, padding...] per row
+        (reference encode_text_with_prompt_embedding, CLIP/clip/model.py:
+        1084-1127).  The EOT pooling still gathers at the ORIGINAL argmax
+        position of the token ids -- a reference quirk kept for parity (the
+        shifted sequence's true EOT sits Lf+Ll later)."""
         emb = nn.Embed(self.vocab_size, self.width, name="token_embedding")
         x = emb(text_tokens)
+        x = _insert_prompt_embeddings(x, text_tokens, prompt_former, prompt_later)
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(0.01),
@@ -196,6 +244,12 @@ class CLIP(nn.Module):
 
     def encode_text(self, tokens):
         return self.text(tokens)
+
+    def encode_text_with_prompt_embedding(self, tokens, prompt_former=None,
+                                          prompt_later=None):
+        """Learned-prompt text encoding (reference CLIP/clip/model.py:1084);
+        used by the prompt-tuning loss variants (criterion loss_prompt_*)."""
+        return self.text(tokens, prompt_former=prompt_former, prompt_later=prompt_later)
 
     def __call__(self, images, tokens):
         img = self.encode_image(images)

@@ -340,6 +340,15 @@ class APCalculator:
             overall_ret[ap_iou_thresh] = ret_dict
         return overall_ret
 
+    def metrics_to_dict(self, overall_ret):
+        """ap_calculator.py:1795-1802: flat mAP/AR scalars (x100) per IoU
+        threshold for tensorboard logging."""
+        metrics_dict = {}
+        for t in self.ap_iou_thresh:
+            metrics_dict[f"mAP_{t}"] = overall_ret[t].get("mAP", 0.0) * 100
+            metrics_dict[f"AR_{t}"] = overall_ret[t].get("AR", 0.0) * 100
+        return metrics_dict
+
     def metrics_to_str(self, overall_ret, per_class=True):
         """ap_calculator.py:1709-1760."""
         mAP_strs, AR_strs = [], []

@@ -48,11 +48,19 @@ def _scannet_cfg(args, anonymous=True, num_semcls=None):
             train_range=(args.train_range_min, args.train_range_max),
             test_range=(args.test_range_min, args.test_range_max),
         )
+    # raw ScanNet-200 class-id lists from the shipped scripts
+    # (--train_range_list/--test_range_list; reference scannet50_image.py:38-62)
+    tlist = getattr(args, "train_range_list", -1)
+    elist = getattr(args, "test_range_list", -1)
+    has_lists = isinstance(tlist, (list, tuple)) and isinstance(elist, (list, tuple))
     return Scannet50ImageConfig(
         asset_dir=getattr(args, "asset_dir", None),
         num_semcls=num_semcls if num_semcls is not None else args.test_num_semcls,
         train_range=(args.train_range_min, args.train_range_max),
         test_range=(args.test_range_min, args.test_range_max),
+        train_range_list=list(tlist) if has_lists else None,
+        test_range_list=list(elist) if has_lists else None,
+        reset_scannet_num=getattr(args, "reset_scannet_num", 50),
     )
 
 

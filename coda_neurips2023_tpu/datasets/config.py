@@ -135,10 +135,50 @@ class ScannetAnonymousConfig(DatasetConfigBase):
 
 class Scannet50ImageConfig(ScannetAnonymousConfig):
     """60-class `scannet50_image` eval config with seen/novel idx buckets
-    (/root/reference/datasets/scannet50_image.py:116-122)."""
+    (/root/reference/datasets/scannet50_image.py:116-122).
 
-    def __init__(self, asset_dir=None, num_semcls=60, train_range=(0, 10), test_range=(0, 60), **kw):
+    With `train_range_list`/`test_range_list` (raw ScanNet-200 class ids, the
+    shipped scripts' --train_range_list/--test_range_list) the vocabulary is
+    rebuilt exactly like the reference (scannet50_image.py:38-122): eval
+    classes = the seen ids + the first `reset_scannet_num` UNSEEN test ids in
+    test-list order, sorted; ids map to contiguous indices; seen/novel idx
+    buckets follow that mapping.  Without lists, falls back to contiguous
+    index ranges."""
+
+    def __init__(self, asset_dir=None, num_semcls=60, train_range=(0, 10),
+                 test_range=(0, 60), train_range_list=None, test_range_list=None,
+                 reset_scannet_num=50, **kw):
         super().__init__(asset_dir, train_range, test_range, **kw)
         self.num_semcls = num_semcls
-        self.seen_idx_list = list(range(*train_range))
-        self.novel_idx_list = [i for i in range(*test_range) if i not in self.seen_idx_list]
+        if train_range_list and test_range_list:
+            self.reset_scannet_num = reset_scannet_num
+            self.num_semcls = len(train_range_list) + reset_scannet_num
+            self.train_range_list = list(train_range_list)
+            eval_ids = list(train_range_list)
+            cnt = 0
+            for cid in test_range_list:
+                if cid in train_range_list:
+                    continue
+                eval_ids.append(cid)
+                cnt += 1
+                if cnt >= reset_scannet_num:
+                    break
+            self.test_range_list = sorted(eval_ids)
+            self.class_id_to_idx = {cid: i for i, cid in enumerate(self.test_range_list)}
+            # class names: keep only the selected ids (reference maps through
+            # the scannet-200 name->id table, scannet50_image.py:73-108)
+            self.class2type = {
+                self.class_id_to_idx[cid]: self.class2type.get(cid, str(cid))
+                for cid in self.test_range_list
+            }
+            self.seen_idx_list = [self.class_id_to_idx[c] for c in train_range_list]
+            self.novel_idx_list = [
+                self.class_id_to_idx[c]
+                for c in self.test_range_list
+                if c not in train_range_list
+            ]
+        else:
+            self.seen_idx_list = list(range(*train_range))
+            self.novel_idx_list = [
+                i for i in range(*test_range) if i not in self.seen_idx_list
+            ]

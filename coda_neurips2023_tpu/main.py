@@ -72,6 +72,28 @@ def make_args_parser():
     parser.add_argument("--cross_enc_nhead", default=4, type=int)
     parser.add_argument("--every_number", default=4, type=int)
     parser.add_argument("--pooling_methods", default="average", type=str)
+    parser.add_argument("--cross_enc_activation", default="relu", type=str)
+    parser.add_argument("--enc_pos_embed", default=None, type=str)
+    parser.add_argument("--trans_layer_numbers", default=3, type=int)
+    parser.add_argument("--trans_head_numbers", default=4, type=int)
+    parser.add_argument("--if_add_norm", default=False, action="store_true")
+    parser.add_argument("--if_concat_transformer", default=False, action="store_true")
+    parser.add_argument("--if_detach_the_guidence_attention", default=False, action="store_true")
+    parser.add_argument("--if_with_larger_embedding", default=False, action="store_true")
+    parser.add_argument("--if_adopt_region_embed", default=False, action="store_true")
+    parser.add_argument("--if_adopt_2d_box_iou_supervision", default=False, action="store_true")
+    parser.add_argument("--box2d_iou_thres", default=1.0, type=float)
+    parser.add_argument("--box2d_gt_score_thres", default=0.0, type=float)
+    parser.add_argument("--iou_match_thres", default=0.25, type=float)
+    parser.add_argument("--if_distill_also_match", default=False, action="store_true")
+    parser.add_argument("--conclusion_thres", default=1000, type=int)
+    parser.add_argument("--clip_with_objectness", default=-1.0, type=float)
+    parser.add_argument("--if_clip_trainable", default=False, action="store_true")
+    parser.add_argument("--if_clip_text_only_seen", default=False, action="store_true")
+    parser.add_argument("--if_only_novel_prompt", default=False, action="store_true")
+    parser.add_argument("--former_prompt_len", default=3, type=int)
+    parser.add_argument("--later_prompt_len", default=3, type=int)
+    parser.add_argument("--prompt_embedding_dir", default=None, type=str)
 
     ##### CLIP / open-vocab #####
     parser.add_argument("--if_with_clip", default=False, action="store_true")
@@ -98,6 +120,25 @@ def make_args_parser():
     parser.add_argument("--online_nms_update_accumulate_novel_label", default=False, action="store_true")
     parser.add_argument("--online_nms_update_save_novel_label_clip_driven_with_cate_confidence",
                         default=False, action="store_true")
+    # other online-NMS pseudo-label strategies (reference main.py:90-110);
+    # accepted for surface parity -- the shipped scripts use only the
+    # clip_driven_with_cate_confidence strategy above
+    parser.add_argument("--online_nms_update_novel_label_for_objectness", default=False, action="store_true")
+    parser.add_argument("--online_nms_update_novel_label_for_objectness_with_max_number",
+                        default=False, action="store_true")
+    parser.add_argument("--online_nms_update_novel_label_for_clip_driven_objectness",
+                        default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_novel_label", default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_novel_label_with_prob", default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_novel_label_clip_driven", default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_novel_label_clip_driven_with_cate_confidence_2d_box",
+                        default=False, action="store_true")
+    parser.add_argument("--online_nms_update_save_novel_label_clip_driven_with_cate_confidence_iou_match_weakly",
+                        default=False, action="store_true")
+    parser.add_argument("--online_nms_update_max_num_epoch", default=10, type=int)
+    parser.add_argument("--if_online_keep_max_box_number", default=False, action="store_true")
+    parser.add_argument("--nms_iou_keep", default=0.25, type=float)
+    parser.add_argument("--repeat_time", default=2, type=int)
     parser.add_argument("--online_nms_update_save_epoch", default=50, type=int)
     parser.add_argument("--online_nms_update_accumulate_epoch", default=10, type=int)
     parser.add_argument("--if_accumulate_former_pseudo_labels", default=False, action="store_true")
@@ -148,6 +189,9 @@ def make_args_parser():
         ("loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi_weight", 0.0),
         ("loss_feat_seen_softmax_loss_with_novel_cate_confi_weight", 0.0),
         ("loss_feat_seen_sigmoid_with_full_image_loss_weight", 0.0),
+        ("loss_feat_seen_sigmoid_loss_weight", 0.0),
+        ("loss_3d_2d_region_embed_weight", 0.0),
+        ("loss_contrast_3dto2d_text_weight", 0.0),
         ("loss_prompt_softmax_weight", 0.0),
         ("loss_prompt_sigmoid_weight", 0.0),
     ]:
@@ -170,11 +214,16 @@ def make_args_parser():
     parser.add_argument("--train_range_max", default=10, type=int)
     parser.add_argument("--test_range_min", default=0, type=int)
     parser.add_argument("--test_range_max", default=46, type=int)
+    # raw ScanNet-200 class-id lists (scannet scripts; scannet50_image.py:38-62)
+    parser.add_argument("--train_range_list", default=-1, nargs="+", type=int)
+    parser.add_argument("--test_range_list", default=-1, nargs="+", type=int)
+    parser.add_argument("--reset_scannet_num", default=50, type=int)
     parser.add_argument("--if_use_v1", default=False, action="store_true")
     parser.add_argument("--if_input_image", default=False, action="store_true")
     parser.add_argument("--if_image_augment", default=False, type=bool)
     parser.add_argument("--image_size_width", default=730, type=int)
     parser.add_argument("--image_size_height", default=531, type=int)
+    parser.add_argument("--image_size", default=[730, 531], nargs=2, type=int)
     parser.add_argument("--num_points", default=20000, type=int)
     # ours: scene count for the data-free synthetic fallback dataset
     parser.add_argument("--synthetic_num_scenes", default=256, type=int)
@@ -199,6 +248,15 @@ def make_args_parser():
     parser.add_argument("--save_seen_feat_only", default=False, action="store_true")
     parser.add_argument("--cal_class_only", default=False, action="store_true")
     parser.add_argument("--crop_only", default=False, action="store_true")
+    parser.add_argument("--if_after_nms", default=False, action="store_true",
+                        help="crop/show modes use post-NMS parsed boxes (main.py:625-749)")
+    parser.add_argument("--minitest_only", default=False, action="store_true")
+    parser.add_argument("--show_box_points", default=False, action="store_true")
+    parser.add_argument("--show_dir", default=None, type=str)
+    parser.add_argument("--crop_dir", default=None, type=str)
+    parser.add_argument("--save_novel_dir", default=None, type=str)
+    parser.add_argument("--save_seen_dir", default=None, type=str)
+    parser.add_argument("--on_cloud", default=True, action="store_false")
 
     ##### I/O #####
     parser.add_argument("--checkpoint_dir", default=None, type=str)
@@ -544,18 +602,22 @@ def run_mode(args, ctx):
     stage_ctx = ctx.get("stage_ctx")
 
     if args.show_only:
-        return modes.show_boxes(model, state, loader, os.path.join(out_dir, "show"))
+        return modes.show_boxes(
+            model, state, loader, args.show_dir or os.path.join(out_dir, "show")
+        )
     if args.save_novel_only or args.save_novel_with_class_only:
         return modes.save_novel_boxes(
             model, state, loader, stage_ctx, with_class=args.save_novel_with_class_only
         )
     if args.save_seen_feat_only:
         return modes.save_seen_feats(
-            model, state, loader, stage_ctx, os.path.join(out_dir, "seen_feats")
+            model, state, loader, stage_ctx,
+            args.save_seen_dir or os.path.join(out_dir, "seen_feats"),
         )
     if args.crop_only:
         return modes.crop_boxes(
-            model, state, loader, stage_ctx, os.path.join(out_dir, "crops")
+            model, state, loader, stage_ctx,
+            args.crop_dir or os.path.join(out_dir, "crops"),
         )
     if args.cal_class_only:
         eval_step = make_eval_step(

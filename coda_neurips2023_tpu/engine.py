@@ -94,6 +94,7 @@ def make_train_step(
     extra_targets_fn: Optional[Callable] = None,
     return_last_outputs: bool = False,
     criterion_consts: Optional[dict] = None,
+    lr_schedule: Optional[Callable] = None,
 ):
     """Returns jit(state, batch, rng) -> (state, metrics[, last_outputs]).
 
@@ -102,6 +103,12 @@ def make_train_step(
     and stage-2 paths use it (model_3detr.py get_predicted_box_clip_embedding*).
     With return_last_outputs, the jit also emits the last decoder layer's box
     quantities (stop-gradient) for the stage-2 discovery pass.
+
+    The learning rate is a RUNTIME input: `batch["lr"]` if present (the epoch
+    loop computes it from the possibly-reset epoch, reference engine.py:33-55 +
+    main.py:568-573), else lr_schedule(state.step) (monotone fallback for
+    benches/tests).  `tx` must produce unit-LR update directions
+    (optimizer.build_optimizer).
     """
 
     def loss_fn(params, batch_stats, constants, batch, rng):
@@ -128,11 +135,22 @@ def make_train_step(
 
     @jax.jit
     def train_step(state: TrainState, batch: dict, rng):
+        batch = dict(batch)
+        lr = batch.pop("lr", None)
+        if lr is None:
+            if lr_schedule is None:
+                raise ValueError(
+                    "no learning rate: pass batch['lr'] or lr_schedule="
+                )
+            lr = lr_schedule(state.step)
+        lr = jnp.asarray(lr, jnp.float32)
         rng = jax.random.fold_in(rng, state.step)
         (loss, (loss_dict, new_stats, last)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, state.constants, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # unit-LR directions from tx; apply -lr here (runtime LR input)
+        updates = jax.tree.map(lambda u: (-lr).astype(u.dtype) * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,
@@ -140,7 +158,7 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
         )
-        metrics = {"loss": loss, **loss_dict}
+        metrics = {"loss": loss, "lr": lr, **loss_dict}
         if return_last_outputs:
             return new_state, metrics, last
         return new_state, metrics
@@ -211,13 +229,17 @@ def train_one_epoch(
     log_every: int = 10,
     discovery_fn: Optional[Callable] = None,
     profile_dir: Optional[str] = None,
+    lr_fn: Optional[Callable] = None,
+    all_epoch: Optional[int] = None,
 ):
     """Python epoch loop (reference train_one_epoch, engine.py:58-377).
     With discovery_fn (stage-2 save epochs), the step returns the last
     decoder layer's outputs and discovery_fn(last_outputs, host_batch) mines +
     writes pseudo labels.  With profile_dir, iterations 2-5 of the epoch are
     captured with jax.profiler (the reference only has wall-clock meters,
-    engine.py:81-82)."""
+    engine.py:81-82).  lr_fn(it)->float feeds the per-iteration learning rate
+    (reference adjust_learning_rate, engine.py:124: a function of the RESET
+    epoch under stage 2's periodic epoch reset)."""
     iter_time = SmoothedValue(window_size=10)
     loss_avg = SmoothedValue(window_size=10)
     metrics_out = {}
@@ -229,10 +251,18 @@ def train_one_epoch(
         t0 = time.perf_counter()
         batch = {k: v for k, v in host_batch.items() if not isinstance(v, list)}
         batch["curr_epoch"] = np.int32(curr_epoch)  # for epoch-gated paths
+        # monotone epoch for gates that must NOT follow the stage-2 periodic
+        # reset (keep-box begins at all_epoch==begin_keep_epoch,
+        # reference main.py:355-358 vs the reset epoch fed to forward)
+        batch["all_epoch"] = np.int32(curr_epoch if all_epoch is None else all_epoch)
+        if lr_fn is not None:
+            batch["lr"] = np.float32(lr_fn(it))
         if mesh is not None:
-            epoch_scalar = batch.pop("curr_epoch")
+            scalars = {
+                k: batch.pop(k) for k in ("curr_epoch", "all_epoch", "lr") if k in batch
+            }
             batch = shard_batch(mesh, batch)
-            batch["curr_epoch"] = epoch_scalar  # scalars replicate implicitly
+            batch.update(scalars)  # scalars replicate implicitly
         result = train_step(state, batch, rng)
         if len(result) == 3:
             state, metrics, last_outputs = result

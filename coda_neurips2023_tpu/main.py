@@ -359,11 +359,13 @@ def do_train(args, ctx):
     if stage_ctx is not None and stage_ctx.needs_distillation():
         # two jits: CLIP targets phase + train phase (see stages.py)
         train_step = stage_ctx.make_two_phase_train_step(
-            model, criterion, tx, return_last_outputs=run_discovery
+            model, criterion, tx, return_last_outputs=run_discovery,
+            lr_schedule=ctx["schedule"],
         )
     else:
         train_step = make_train_step(
-            model, criterion, tx, return_last_outputs=run_discovery
+            model, criterion, tx, return_last_outputs=run_discovery,
+            lr_schedule=ctx["schedule"],
         )
     discovery = stage_ctx.discovery_fn() if run_discovery else None
     eval_text = stage_ctx.text_banks["test"] if stage_ctx else None
@@ -391,6 +393,15 @@ def do_train(args, ctx):
             )
     best_ap25 = -1.0
 
+    # per-iteration LR from the (possibly reset) epoch: reference
+    # engine.py:33-55 + the stage-2 periodic epoch reset main.py:568-573 --
+    # the warmup+cosine schedule REPLAYS every reset_epoch_periodically epochs
+    # over the growing pseudo-label set
+    from coda_neurips2023_tpu.optimizer import make_lr_schedule
+
+    ipe = ctx["iters_per_epoch"]
+    host_schedule = make_lr_schedule(args, ipe, host=True)
+
     for epoch in range(start_epoch, args.max_epoch):
         effective_epoch = epoch
         if args.if_reset_epoch_periodically and args.reset_epoch_periodically > 0:
@@ -399,6 +410,8 @@ def do_train(args, ctx):
         state, metrics = train_one_epoch(
             train_step, state, train_loader, rng, mesh=mesh, logger=logger,
             curr_epoch=effective_epoch, log_every=args.log_every,
+            all_epoch=epoch,
+            lr_fn=lambda it, _e=effective_epoch: host_schedule(_e * ipe + it),
             profile_dir=args.profile_dir if epoch == start_epoch else None,
             discovery_fn=(
                 (lambda last, batch: stage_ctx.run_discovery_and_write(discovery, last, batch))

@@ -20,10 +20,37 @@ import numpy as np
 import optax
 
 
-def make_lr_schedule(args, num_iters_per_epoch: int):
-    """Per-iteration schedule matching engine.py:33-55."""
-    warm_iters = args.warm_lr_epochs * num_iters_per_epoch
+def make_lr_schedule(args, num_iters_per_epoch: int, host: bool = False):
+    """Per-iteration schedule matching engine.py:33-55.
+
+    The reference computes LR per-iteration from `curr_iter / max_iters` where
+    `curr_iter = curr_epoch * iters_per_epoch + batch_idx` and `curr_epoch` is
+    the (possibly periodically RESET, main.py:568-573) epoch counter -- so
+    stage 2 replays warmup+early-cosine every `reset_epoch_periodically`
+    epochs.  Callers therefore pass the step as a function of the reset epoch,
+    not of the monotone optimizer count.
+
+    With host=True the schedule is pure python/math (for the per-iter host
+    loop -- avoids a device roundtrip per iteration through the TPU tunnel).
+    """
     max_iters = args.max_epoch * num_iters_per_epoch
+
+    if host:
+        def schedule(step):
+            step = float(step)
+            curr_epoch_f = step / num_iters_per_epoch
+            if args.warm_lr_epochs > 0 and curr_epoch_f < args.warm_lr_epochs:
+                return args.warm_lr + curr_epoch_f / args.warm_lr_epochs * (
+                    args.base_lr - args.warm_lr
+                )
+            if args.lr_scheduler != "cosine":
+                return args.base_lr
+            progress = step / max_iters
+            return args.final_lr + 0.5 * (args.base_lr - args.final_lr) * (
+                1 + math.cos(math.pi * progress)
+            )
+
+        return schedule
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -48,20 +75,25 @@ def make_lr_schedule(args, num_iters_per_epoch: int):
 
 def build_optimizer(args, params, num_iters_per_epoch: int):
     """AdamW(+grad clip) with the reference's bias/1-D no-decay filter
-    (optimizer.py:11-30, enabled by --filter_biases_wd)."""
+    (optimizer.py:11-30, enabled by --filter_biases_wd).
+
+    The returned transformation produces UNIT-LR update directions
+    (scale_by_adam + decayed weights, sign not yet flipped by -lr): the train
+    step multiplies by the current learning rate, which is a runtime input so
+    stage 2's epoch-reset LR replay can feed LR per iteration without
+    retracing (optax.adamw == chain(scale_by_adam, add_decayed_weights,
+    scale_by_learning_rate))."""
     schedule = make_lr_schedule(args, num_iters_per_epoch)
 
     if getattr(args, "filter_biases_wd", False):
         def decay_mask(p):
             return jax.tree.map(lambda x: x.ndim > 1, p)
 
-        adamw = optax.adamw(
-            schedule, weight_decay=args.weight_decay, mask=decay_mask
-        )
+        wd = optax.add_decayed_weights(args.weight_decay, mask=decay_mask)
     else:
-        adamw = optax.adamw(schedule, weight_decay=args.weight_decay)
+        wd = optax.add_decayed_weights(args.weight_decay)
 
-    chain = [adamw]
+    chain = [optax.scale_by_adam(), wd]
     if getattr(args, "clip_gradient", 0) and args.clip_gradient > 0:
         chain = [optax.clip_by_global_norm(args.clip_gradient)] + chain
     return optax.chain(*chain), schedule

@@ -129,7 +129,12 @@ class StageContext:
             if if_keep_box:
                 # epoch gating traced through batch["curr_epoch"]
                 # (reference: curr_epoch >= 540, model_3detr.py:1108)
-                keep_enabled = batch.get("curr_epoch", jnp.int32(0)) >= begin_keep_epoch
+                # monotone epoch (NOT the stage-2 reset epoch): the reference
+                # arms if_keep_box at all_epoch == begin_keep_epoch
+                # (main.py:355-358) and it stays on
+                keep_enabled = batch.get(
+                    "all_epoch", batch.get("curr_epoch", jnp.int32(0))
+                ) >= begin_keep_epoch
             targets = build_clip_distillation_targets(
                 jax.random.fold_in(rng, 7),
                 last,
@@ -233,11 +238,16 @@ class StageContext:
 
     def make_targets_step(self, model):
         """Phase A of the two-phase stage training: a separate jit computing
-        the CLIP distillation targets from an eval-mode forward.  Splitting
+        the CLIP distillation targets from a TRAIN-mode forward.  Splitting
         keeps each compiled graph small (the fused single-jit variant
-        overwhelms compile servers); since the targets are stop-gradient
-        constants for the loss, the split is semantically equivalent up to
-        the dropout sample used for the crop boxes."""
+        overwhelms compile servers).  The forward runs with train=True and the
+        SAME dropout rng as phase B (both fold state.step into the step rng,
+        engine.make_train_step), so the boxes that get cropped/CLIP-encoded
+        here are exactly the boxes the train forward predicts -- matching the
+        reference, which computes targets inside the one train forward
+        (model_3detr.py:902-1210); the rng fold also redraws the per-sample
+        distillation crop selection every step (reference np.random.choice per
+        forward, model_3detr.py:997)."""
         args = self.args
         text = self.train_text_features
         scale = jnp.float32(self.logit_scale)
@@ -262,11 +272,25 @@ class StageContext:
                 "batch_stats": state.batch_stats,
                 "constants": state.constants,
             }
-            outputs = model.apply(variables, batch, train=False)
+            # identical fold to engine.make_train_step -> same dropout masks
+            # as the phase-B train forward; fresh selection rng every step
+            rng = jax.random.fold_in(rng, state.step)
+            outputs, _ = model.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],  # discarded; phase B applies the update
+            )
             last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
             keep_enabled = False
             if if_keep_box:
-                keep_enabled = batch.get("curr_epoch", jnp.int32(0)) >= begin_keep_epoch
+                # monotone epoch (NOT the stage-2 reset epoch): the reference
+                # arms if_keep_box at all_epoch == begin_keep_epoch
+                # (main.py:355-358) and it stays on
+                keep_enabled = batch.get(
+                    "all_epoch", batch.get("curr_epoch", jnp.int32(0))
+                ) >= begin_keep_epoch
 
             def clip_arg_fn(images):
                 return jax.lax.stop_gradient(
@@ -297,7 +321,8 @@ class StageContext:
 
         return targets_step
 
-    def make_two_phase_train_step(self, model, criterion, tx, return_last_outputs=False):
+    def make_two_phase_train_step(self, model, criterion, tx, return_last_outputs=False,
+                                  lr_schedule=None):
         """Python-level step: phase-A targets jit + phase-B train jit."""
         from coda_neurips2023_tpu.engine import make_train_step
 
@@ -309,6 +334,7 @@ class StageContext:
             extra_targets_fn=None,
             return_last_outputs=return_last_outputs,
             criterion_consts=self.criterion_consts(),
+            lr_schedule=lr_schedule,
         )
 
         def step(state, batch, rng):

@@ -104,7 +104,7 @@ def test_build_everything_and_one_step():
     state = create_train_state(
         ctx["model"], ctx["tx"], jax.random.PRNGKey(0), batch
     )
-    train_step = make_train_step(ctx["model"], ctx["criterion"], ctx["tx"])
+    train_step = make_train_step(ctx["model"], ctx["criterion"], ctx["tx"], lr_schedule=ctx["schedule"])
     state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
 

@@ -81,9 +81,9 @@ def test_stage1_distillation_train_step(stage1_setup):
     args = stage_args()
     ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
     criterion = build_criterion(_crit_args(args), cfg)
-    tx, _ = build_optimizer(args, None, 4)
+    tx, schedule = build_optimizer(args, None, 4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    step = make_train_step(model, criterion, tx, extra_targets_fn=ctx.extra_targets_fn())
+    step = make_train_step(model, criterion, tx, extra_targets_fn=ctx.extra_targets_fn(), lr_schedule=schedule)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert "loss_predicted_region_embed_l1" in metrics
     assert np.isfinite(float(metrics["loss"]))
@@ -101,11 +101,11 @@ def test_stage2_weakly_loss_and_discovery(stage1_setup, tmp_path):
     )
     ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
     criterion = build_criterion(_crit_args(args), cfg)
-    tx, _ = build_optimizer(args, None, 4)
+    tx, schedule = build_optimizer(args, None, 4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     step = make_train_step(
         model, criterion, tx, extra_targets_fn=ctx.extra_targets_fn(),
-        return_last_outputs=True,
+        return_last_outputs=True, lr_schedule=schedule,
     )
     state, metrics, last = step(state, batch, jax.random.PRNGKey(1))
     assert "loss_feat_seen_softmax_weakly_loss_with_novel_cate_confi" in metrics
@@ -132,7 +132,7 @@ def test_clip_eval_step_gt_box_and_expand(stage1_setup):
     cfg, eval_cfg, model, batch = stage1_setup
     args = stage_args(if_use_gt_box=True, if_expand_box=True)
     ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
-    tx, _ = build_optimizer(args, None, 4)
+    tx, schedule = build_optimizer(args, None, 4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     eval_step = ctx.make_clip_eval_step(model)
     out = jax.device_get(eval_step(state, batch))
@@ -161,7 +161,7 @@ def test_eval_layer_id_selects_decoder_layer(stage1_setup):
 
     cfg, eval_cfg, model, batch = stage1_setup
     args = stage_args()
-    tx, _ = build_optimizer(args, None, 4)
+    tx, schedule = build_optimizer(args, None, 4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     import jax.numpy as jnp
 
@@ -188,3 +188,54 @@ def _crit_args(args):
         if not hasattr(args, name):
             setattr(args, name, 0.0)
     return args
+
+
+def test_targets_step_selection_varies_per_step(stage1_setup):
+    """The distillation crop selection must be redrawn every step (reference
+    np.random.choice per forward, model_3detr.py:997) -- round-1 bug: the
+    phase-A rng was constant, so the same query slots were supervised
+    forever."""
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args(distillation_box_num=4)
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    tx, schedule = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    targets_step = ctx.make_targets_step(model)
+    rng = jax.random.PRNGKey(1)
+    t0 = jax.device_get(targets_step(state, batch, rng))
+    t1 = jax.device_get(targets_step(state.replace(step=state.step + 1), batch, rng))
+    m0 = t0["gt_text_correlation_embedding_mask"][..., 0]
+    m1 = t1["gt_text_correlation_embedding_mask"][..., 0]
+    assert m0.sum() > 0 and m1.sum() > 0
+    assert not np.array_equal(m0, m1), "selection identical across steps"
+
+
+def test_two_phase_matches_single_jit_train_step(stage1_setup):
+    """Phase-A targets now come from the TRAIN-mode forward with the same
+    dropout rng as phase B, so the split two-phase step must produce exactly
+    the same losses as the fused single-jit step (reference computes targets
+    inside the one train forward, model_3detr.py:902-1210)."""
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args()
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    criterion = build_criterion(_crit_args(args), cfg)
+    tx, schedule = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+
+    fused = make_train_step(
+        model, criterion, tx, extra_targets_fn=ctx.extra_targets_fn(),
+        criterion_consts=ctx.criterion_consts(), lr_schedule=schedule,
+    )
+    split = ctx.make_two_phase_train_step(model, criterion, tx, lr_schedule=schedule)
+
+    _, m_fused = fused(state, batch, rng)
+    _, m_split = split(state, batch, rng)
+    np.testing.assert_allclose(
+        float(m_fused["loss"]), float(m_split["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_fused["loss_predicted_region_embed_l1"]),
+        float(m_split["loss_predicted_region_embed_l1"]),
+        rtol=1e-5,
+    )

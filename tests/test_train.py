@@ -62,14 +62,14 @@ def tiny_setup(batch_size=8, num_points=256):
         clip_gradient=0.1,
         max_epoch=10,
     )
-    tx, _ = build_optimizer(args, None, num_iters_per_epoch=4)
-    return cfg, model, batch, criterion, tx
+    tx, schedule = build_optimizer(args, None, num_iters_per_epoch=4)
+    return cfg, model, batch, criterion, tx, schedule
 
 
 def test_train_step_runs_and_decreases_loss():
-    cfg, model, batch, criterion, tx = tiny_setup(batch_size=4)
+    cfg, model, batch, criterion, tx, schedule = tiny_setup(batch_size=4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    train_step = make_train_step(model, criterion, tx)
+    train_step = make_train_step(model, criterion, tx, lr_schedule=schedule)
     rng = jax.random.PRNGKey(1)
     losses = []
     for _ in range(6):
@@ -84,9 +84,9 @@ def test_train_step_runs_and_decreases_loss():
 
 
 def test_train_step_sharded_matches_single_device():
-    cfg, model, batch, criterion, tx = tiny_setup(batch_size=8)
+    cfg, model, batch, criterion, tx, schedule = tiny_setup(batch_size=8)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    train_step = make_train_step(model, criterion, tx)
+    train_step = make_train_step(model, criterion, tx, lr_schedule=schedule)
     rng = jax.random.PRNGKey(1)
 
     # single-device reference
@@ -104,7 +104,7 @@ def test_train_step_sharded_matches_single_device():
 
 
 def test_eval_ap_pipeline():
-    cfg, model, batch, criterion, tx = tiny_setup(batch_size=4)
+    cfg, model, batch, criterion, tx, schedule = tiny_setup(batch_size=4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     rng = np.random.default_rng(0)
     text = rng.standard_normal((5, 512)).astype(np.float32)
@@ -152,7 +152,7 @@ def test_2d_box_iou_supervised_loss_matches_skip_none_when_no_judge():
     """With no novel_box_judge signal, the 2d-box-iou-supervised CE reduces to
     the plain skip_none_gt_sample CE (reference criterion.py:248-278 with
     novel_box_judge == 0 everywhere)."""
-    cfg, model, batch, _, tx = tiny_setup(batch_size=4)
+    cfg, model, batch, _, tx, schedule = tiny_setup(batch_size=4)
     matcher = Matcher(cost_class=1, cost_objectness=5, cost_giou=3, cost_center=5)
     crit = SetCriterion(
         matcher,

@@ -30,18 +30,37 @@ def collate(samples: list) -> dict:
 
 
 class Loader:
-    def __init__(self, dataset, batch_size, shuffle=False, seed=0, drop_last=True, num_workers=4):
+    def __init__(self, dataset, batch_size, shuffle=False, seed=0, drop_last=True,
+                 num_workers=4, pad_last=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        # pad_last: keep static jit shapes while evaluating EVERY sample
+        # (reference eval DataLoaders never drop the tail, main.py:1027-1033):
+        # the final short batch is padded by repeating its last sample and a
+        # per-row "pad_mask" marks real rows; engine.evaluate slices them out
+        # before the AP meter.
+        self.pad_last = pad_last and not drop_last
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batch(self, idxs):
+        samples = [self.dataset[i] for i in idxs]
+        n_valid = len(samples)
+        if self.pad_last and n_valid < self.batch_size:
+            samples = samples + [samples[-1]] * (self.batch_size - n_valid)
+        batch = collate(samples)
+        if self.pad_last:
+            mask = np.zeros(len(samples), np.bool_)
+            mask[:n_valid] = True
+            batch["pad_mask"] = mask
+        return batch
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)
@@ -56,9 +75,7 @@ class Loader:
                 futures = []
                 for start in range(0, end, self.batch_size):
                     idxs = order[start : start + self.batch_size]
-                    futures.append(
-                        pool.submit(lambda ii: collate([self.dataset[i] for i in ii]), idxs)
-                    )
+                    futures.append(pool.submit(self._make_batch, idxs))
                     # bounded pipeline: keep at most 2 batches in flight
                     while len(futures) > 2:
                         yield futures.pop(0).result()
@@ -67,8 +84,10 @@ class Loader:
         else:
             for start in range(0, end, self.batch_size):
                 idxs = order[start : start + self.batch_size]
-                yield collate([self.dataset[i] for i in idxs])
+                yield self._make_batch(idxs)
 
 
-def make_loader(dataset, batch_size, shuffle=False, seed=0, drop_last=True, num_workers=4):
-    return Loader(dataset, batch_size, shuffle, seed, drop_last, num_workers)
+def make_loader(dataset, batch_size, shuffle=False, seed=0, drop_last=True,
+                num_workers=4, pad_last=False):
+    return Loader(dataset, batch_size, shuffle, seed, drop_last, num_workers,
+                  pad_last=pad_last)

@@ -319,9 +319,24 @@ def evaluate(
         dataset_name=dataset_name,
     )
     for batch in batches:
-        device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        pad_mask = batch.get("pad_mask")
+        device_batch = {
+            k: v
+            for k, v in batch.items()
+            if not isinstance(v, list) and k != "pad_mask"
+        }
         if mesh is not None:
             device_batch = shard_batch(mesh, device_batch)
         outputs = jax.device_get(eval_step(state, device_batch))
+        if pad_mask is not None and not pad_mask.all():
+            # tail batch padded to static shape by the loader: drop the
+            # repeated rows before metering (padding is always a suffix)
+            n_valid = int(pad_mask.sum())
+            outputs = {k: v[:n_valid] for k, v in outputs.items()}
+            batch = {
+                k: v[:n_valid] if k != "pad_mask" else v
+                for k, v in batch.items()
+            }
         ap.step_meter({"outputs": outputs}, batch)
+    print(f"evaluated {ap.scan_cnt} scans")
     return ap

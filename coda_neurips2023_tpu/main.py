@@ -444,7 +444,8 @@ def do_train(args, ctx):
             and len(datasets["test"])
         ):
             test_loader = make_loader(
-                datasets["test"], args.batchsize_per_gpu_test, shuffle=False
+                datasets["test"], args.batchsize_per_gpu_test, shuffle=False,
+                drop_last=False, pad_last=True,
             )
             ap = evaluate(
                 eval_step, state, test_loader, ctx["dataset_config"], mesh=mesh,
@@ -469,7 +470,8 @@ def do_train(args, ctx):
             and len(datasets["real_test"])
         ):
             test_loader = make_loader(
-                datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False
+                datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
+                drop_last=False, pad_last=True,
             )
             ap = evaluate(
                 eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
@@ -494,7 +496,8 @@ def do_train(args, ctx):
             and args.real_cmp_eval_every_epoch <= args.max_epoch
         ):
             cmp_loader = make_loader(
-                datasets["real_cmp_test"], args.batchsize_per_gpu_test, shuffle=False
+                datasets["real_cmp_test"], args.batchsize_per_gpu_test, shuffle=False,
+                drop_last=False, pad_last=True,
             )
             ap = evaluate(
                 cmp_eval_step, state, cmp_loader, ctx["real_cmp_config"], mesh=mesh,
@@ -522,7 +525,8 @@ def do_train(args, ctx):
     # final eval artifacts (reference main.py:578-623: final_eval.txt / .pkl)
     if len(datasets["real_test"]):
         test_loader = make_loader(
-            datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False
+            datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
+            drop_last=False, pad_last=True,
         )
         ap = evaluate(
             eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
@@ -565,7 +569,8 @@ def test_model(args, ctx):
 
     model, tx, mesh = ctx["model"], ctx["tx"], ctx["mesh"]
     datasets = ctx["datasets"]
-    loader = make_loader(datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False)
+    loader = make_loader(datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
+                         drop_last=False, pad_last=True)
     sample = next(iter(loader))
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample)
     if args.test_ckpt:

@@ -153,3 +153,46 @@ class TestScannetLoader:
         assert s["point_clouds"].shape == (256, 3)
         assert np.all(s["gt_box_sem_cls_label"] == 0)
         assert np.all(np.isfinite(s["gt_box_corners"]))
+
+
+def test_eval_pads_and_meters_every_scan():
+    """Eval must meter EVERY scan (reference eval loaders never drop the tail,
+    main.py:1027-1033): the loader pads the final short batch to the static
+    batch size and engine.evaluate slices the padding back out."""
+    import jax
+
+    import numpy as np
+
+    from coda_neurips2023_tpu.datasets.config import SunrgbdAnonymousConfig
+    from coda_neurips2023_tpu.datasets.loader import make_loader
+    from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset
+    from coda_neurips2023_tpu.engine import evaluate
+
+    cfg = SunrgbdAnonymousConfig()
+    n = 4 * 2 + 3  # bs*k + r
+    ds = SyntheticDetectionDataset(cfg, num_scenes=n, num_points=128)
+    loader = make_loader(ds, 4, shuffle=False, drop_last=False, pad_last=True, num_workers=1)
+
+    shapes = [b["point_clouds"].shape[0] for b in loader]
+    assert shapes == [4, 4, 4], shapes  # static batch shapes incl. padded tail
+    masks = [b["pad_mask"] for b in loader]
+    assert masks[-1].tolist() == [True, True, True, False]
+
+    nq = 8
+
+    def fake_eval_step(state, batch):
+        bs = batch["point_clouds"].shape[0]
+        assert "pad_mask" not in batch  # never reaches the jitted step
+        rng = np.random.default_rng(0)
+        return {
+            "box_corners": rng.random((bs, nq, 8, 3), np.float32),
+            "sem_cls_prob": np.full((bs, nq, 1), 0.9, np.float32),
+            "objectness_prob": np.full((bs, nq), 0.9, np.float32),
+            "center_unnormalized": rng.random((bs, nq, 3), np.float32),
+            "size_unnormalized": np.full((bs, nq, 3), 0.5, np.float32),
+            "angle_continuous": np.zeros((bs, nq), np.float32),
+        }
+
+    ap = evaluate(fake_eval_step, None, loader, cfg, exact_eval=False)
+    assert ap.scan_cnt == n, (ap.scan_cnt, n)
+    assert len(ap.gt_map_cls) == n

@@ -125,6 +125,7 @@ class SetCriterion:
         self.dataset_config = dataset_config
         self.loss_weight_dict = dict(loss_weight_dict)
         self.confidence_type = confidence_type
+        self.train_range_max = train_range_max
         # per-class CE weights: bg (last) gets loss_no_object_weight
         n = dataset_config.num_semcls + 1
         w = np.ones(n, np.float32)
@@ -156,6 +157,10 @@ class SetCriterion:
             "loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi,
             "loss_contrast_object_text": self.loss_contrast_object_text,
             "loss_image_seen_class": self.loss_image_seen_class,
+            "loss_contrastive": self.loss_contrastive,
+            "loss_sem_focal_cls": self.loss_sem_focal_cls,
+            "loss_feat_seen_sigmoid_loss": self.loss_feat_seen_sigmoid_loss,
+            "loss_feat_seen_sigmoid_with_full_image_loss": self.loss_feat_seen_sigmoid_with_full_image_loss,
             "loss_feat_seen_softmax_loss": self.loss_feat_seen_softmax_loss,
             "loss_feat_seen_softmax_weakly_loss": self.loss_feat_seen_softmax_weakly_loss,
             "loss_feat_seen_softmax_loss_with_novel_cate_confi": self.loss_feat_seen_softmax_loss_with_novel_cate_confi,
@@ -288,6 +293,89 @@ class SetCriterion:
             return jnp.float32(0.0)
         gt = targets["gt_image_class_label"].astype(pred.dtype)
         return jnp.mean(sigmoid_focal_loss(pred, gt))
+
+    def loss_contrastive(self, outputs, targets, assignments):
+        """Image<->text symmetric contrastive CE (criterion.py:454-471): used
+        by prompt-training model variants that emit pooled text/image CLIP
+        features; logit-scaled similarity, arange labels, (CE_i + CE_t)/2."""
+        text = outputs.get("pooled_updated_text_features")
+        image = outputs.get("image_features_clip")
+        if text is None or image is None:
+            return jnp.float32(0.0)
+        scale = targets.get("logit_scale", jnp.float32(100.0))
+        sim = scale * image @ text.T
+        labels = jnp.arange(sim.shape[0])
+        loss_i = jnp.mean(_cross_entropy(sim, labels))
+        loss_t = jnp.mean(_cross_entropy(sim.T, labels))
+        return (loss_i + loss_t) / 2.0
+
+    def loss_sem_focal_cls(self, outputs, targets, assignments):
+        """Sigmoid focal CE on a dedicated seen-class logits head
+        (criterion.py:408-430 loss_sem_focal_cls): matched proposals take
+        their seen label, unmatched the LAST class; mean reduction."""
+        pred_logits = outputs.get("seen_sem_cls_logits")
+        if pred_logits is None:
+            return jnp.float32(0.0)
+        gt_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        bg = pred_logits.shape[-1] - 1
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        onehot = jax.nn.one_hot(
+            jnp.clip(gt_label, 0, bg), pred_logits.shape[-1], dtype=pred_logits.dtype
+        )
+        return jnp.mean(sigmoid_focal_loss(pred_logits, onehot))
+
+    def loss_feat_seen_sigmoid_loss(self, outputs, targets, assignments):
+        """Sigmoid-focal seen-class loss on UNNORMALIZED query/text
+        correlations (criterion.py:479-510): matched rows supervise all C
+        classes (one-hot at the seen label), unmatched rows supervise only the
+        first train_range_max classes toward 0 (the reference hardcodes 10);
+        denominator = n_matched*C + n_unmatched*train_range_max."""
+        emb = outputs["text_correlation_embedding"]  # NOT normalized, no scale
+        text = targets["text_features_clip"].astype(jnp.float32)
+        corr = jnp.einsum("bqc,kc->bqk", emb, text)
+        ncls = corr.shape[-1]
+        gt_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        matched = assignments["proposal_matched_mask"] > 0
+        # unmatched -> out-of-range class => all-zero one-hot row
+        gt_label = jnp.where(matched, gt_label, ncls)
+        onehot = jax.nn.one_hot(gt_label, ncls + 1, dtype=corr.dtype)[..., :-1]
+        loss = sigmoid_focal_loss(corr, onehot)
+        n_seen = min(self.train_range_max, ncls)
+        neg = jnp.concatenate(
+            [jnp.ones((n_seen,), corr.dtype), jnp.zeros((ncls - n_seen,), corr.dtype)]
+        )
+        w = jnp.where(matched[..., None], jnp.ones_like(loss), neg)
+        all_num = (
+            jnp.sum(matched) * ncls + jnp.sum(~matched) * n_seen
+        ).astype(corr.dtype)
+        return jnp.sum(loss * w) / jnp.maximum(all_num, 1e-32)
+
+    def loss_feat_seen_sigmoid_with_full_image_loss(self, outputs, targets, assignments):
+        """Full-image-conditioned sigmoid-focal seen loss
+        (criterion.py:780-808): the text bank's first train_range_max rows are
+        modulated elementwise by the CLIP embedding of the whole image; mean
+        focal reduction."""
+        full = targets.get("full_image_embedding")
+        if full is None:
+            return jnp.float32(0.0)
+        emb = outputs["text_correlation_embedding"]
+        text = targets["text_features_clip"].astype(jnp.float32)
+        n_seen = min(self.train_range_max, text.shape[0])
+        text = text[:n_seen][None] * full[:, None, :]  # (B, n_seen, 512)
+        corr = jnp.einsum("bqc,bkc->bqk", emb, text)
+        gt_label = _gather_per_prop(
+            targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
+            assignments["per_prop_gt_inds"],
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, n_seen)
+        onehot = jax.nn.one_hot(gt_label, n_seen + 1, dtype=corr.dtype)[..., :-1]
+        return jnp.mean(sigmoid_focal_loss(corr, onehot))
 
     def loss_region_embed(self, outputs, targets, assignments):
         """Matched-pair embedding L1 (criterion.py:902-922)."""
@@ -667,6 +755,22 @@ def build_criterion(args, dataset_config):
         "loss_contrast_object_text_weight": args.loss_contrast_object_text,
         "loss_image_seen_class_weight": g("loss_image_seen_class_weight"),
     }
+    # every registered loss accepts its --<name>_weight flag (reference
+    # criterion.py:1219-1310 passes all of them); sweep the remainder so no
+    # accepted flag is silently dropped
+    for name in (
+        "loss_contrastive",
+        "loss_sem_focal_cls",
+        "loss_feat_seen_sigmoid_loss",
+        "loss_feat_seen_sigmoid_with_full_image_loss",
+        "loss_feat_seen_softmax_loss",
+        "loss_feat_seen_softmax_weakly_loss",
+        "loss_feat_seen_softmax_loss_with_novel_cate_confi",
+        "loss_batchwise_contrastive",
+        "loss_prompt_softmax",
+        "loss_prompt_sigmoid",
+    ):
+        loss_weight_dict.setdefault(name + "_weight", g(name + "_weight"))
     return SetCriterion(
         matcher,
         dataset_config,

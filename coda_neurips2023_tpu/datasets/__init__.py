@@ -19,7 +19,9 @@ import functools
 from coda_neurips2023_tpu.datasets.config import (
     Scannet50ImageConfig,
     ScannetAnonymousConfig,
+    ScannetCmpImageConfig,
     SunrgbdAnonymousConfig,
+    SunrgbdCmpImageConfig,
     SunrgbdImageConfig,
 )
 from coda_neurips2023_tpu.datasets.sunrgbd import SunrgbdDetectionDataset
@@ -27,7 +29,8 @@ from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset
 
 
 def _sunrgbd_cfg(args, anonymous=True, num_semcls=None, cmp_vocab=False):
-    cfg_cls = SunrgbdAnonymousConfig if anonymous else SunrgbdImageConfig
+    """cmp_vocab=True builds the 20-class OV-3DETR comparison eval config
+    (reference SunrgbdImageCmpDatasetConfig, sunrgbd_cmp_image.py:86-197)."""
     kw = dict(
         asset_dir=getattr(args, "asset_dir", None),
         use_v1=getattr(args, "if_use_v1", True),
@@ -35,15 +38,18 @@ def _sunrgbd_cfg(args, anonymous=True, num_semcls=None, cmp_vocab=False):
         test_range=(args.test_range_min, args.test_range_max),
         image_size=(args.image_size_width, args.image_size_height),
     )
+    if cmp_vocab:
+        return SunrgbdCmpImageConfig(**kw)
+    cfg_cls = SunrgbdAnonymousConfig if anonymous else SunrgbdImageConfig
     if not anonymous:
         kw["num_semcls"] = num_semcls if num_semcls is not None else args.test_num_semcls
     cfg = cfg_cls(**kw)
     return cfg
 
 
-def _scannet_cfg(args, anonymous=True, num_semcls=None):
-    if anonymous:
-        return ScannetAnonymousConfig(
+def _scannet_cfg(args, anonymous=True, num_semcls=None, cmp_vocab=False):
+    if cmp_vocab:
+        return ScannetCmpImageConfig(
             asset_dir=getattr(args, "asset_dir", None),
             train_range=(args.train_range_min, args.train_range_max),
             test_range=(args.test_range_min, args.test_range_max),
@@ -53,6 +59,14 @@ def _scannet_cfg(args, anonymous=True, num_semcls=None):
     tlist = getattr(args, "train_range_list", -1)
     elist = getattr(args, "test_range_list", -1)
     has_lists = isinstance(tlist, (list, tuple)) and isinstance(elist, (list, tuple))
+    if anonymous:
+        return ScannetAnonymousConfig(
+            asset_dir=getattr(args, "asset_dir", None),
+            train_range=(args.train_range_min, args.train_range_max),
+            test_range=(args.test_range_min, args.test_range_max),
+            train_range_list=list(tlist) if has_lists else None,
+            test_range_list=list(elist) if has_lists else None,
+        )
     return Scannet50ImageConfig(
         asset_dir=getattr(args, "asset_dir", None),
         num_semcls=num_semcls if num_semcls is not None else args.test_num_semcls,
@@ -90,7 +104,9 @@ def build_dataset(args):
         cfg = _sunrgbd_cfg(args, anonymous=True)
         real_cfg = _sunrgbd_cfg(args, anonymous=False)
         mk = functools.partial(
-            SyntheticDetectionDataset, num_points=getattr(args, "num_points", 20000)
+            SyntheticDetectionDataset,
+            num_points=getattr(args, "num_points", 20000),
+            with_images=getattr(args, "if_input_image", False),
         )
         n = getattr(args, "synthetic_num_scenes", 256) or 256
         n_eval = max(n // 4, 2)
@@ -145,6 +161,7 @@ def build_dataset(args):
 
     anon_cfg = _scannet_cfg(args, anonymous=True)
     real_cfg = _scannet_cfg(args, anonymous=False)
+    cmp_cfg = _scannet_cfg(args, cmp_vocab=True)
     use_pseudo = "with_novel_cate_confi" in name
     common = dict(
         root_dir=args.dataset_root_dir,
@@ -165,7 +182,7 @@ def build_dataset(args):
             real_cfg, "val", augment=False, anonymous=False, **common
         ),
         "real_cmp_test": ScannetDetectionDataset(
-            real_cfg, "val", augment=False, anonymous=False, **common
+            cmp_cfg, "val", augment=False, anonymous=False, **common
         ),
     }
-    return datasets, anon_cfg, real_cfg, real_cfg
+    return datasets, anon_cfg, real_cfg, cmp_cfg

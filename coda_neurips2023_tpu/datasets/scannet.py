@@ -116,14 +116,31 @@ class ScannetDetectionDataset:
         return point_cloud, boxes, pseudo_box_path, boxes.shape[0]
 
     def _filter_boxes(self, boxes_source):
+        """GT boxes carry RAW scannet-200 class ids.  With raw-id lists on the
+        config (shipped scripts), filtering follows the reference exactly:
+          * anonymous train: real boxes kept if raw id in train_range_list,
+            weak seen label = train_range_list position
+            (…with_novel_cate_confi.py:506-508 select_range_list +
+            reorder_list_seen_for_modal_align); pseudo boxes always kept
+            (their class column already IS a bank row from discovery);
+          * anonymous val: raw id in test_range_list;
+          * named eval (scannet50/cmp): raw id in class_id_to_idx, labels
+            remapped to contiguous eval indices (scannet50_image.py:438-442).
+        Without lists (synthetic/testing), contiguous ranges are used."""
         cfg = self.dataset_config
+        train_ids = getattr(cfg, "train_range_list", None) or cfg.train_range
+        test_ids = getattr(cfg, "test_range_list_raw", None) or cfg.test_range
+        reorder = getattr(cfg, "seen_reorder", None)
+        eval_remap = getattr(cfg, "class_id_to_idx", None)
         kept, seen_cls, seen_confi = [], [], []
         for row in boxes_source:
             is_real = row[-1] == 1
             if self.anonymous and self.split_set == "train":
                 if is_real:
-                    if int(row[7]) in cfg.train_range:
-                        seen_cls.append(row[7])
+                    if int(row[7]) in train_ids:
+                        seen_cls.append(
+                            reorder[int(row[7])] if reorder else row[7]
+                        )
                         r = row[:8].copy()
                         r[7] = 0
                         kept.append(r)
@@ -144,15 +161,31 @@ class ScannetDetectionDataset:
                         seen_confi.append((row[8] + row[9]) / 2.0)
                     else:
                         seen_confi.append(1.0)
+            elif self.anonymous:
+                if int(row[7]) in test_ids:
+                    if reorder:
+                        seen_cls.append(reorder.get(int(row[7]), cfg.train_max))
+                    else:
+                        seen_cls.append(
+                            row[7] if int(row[7]) in train_ids else cfg.train_max
+                        )
+                    r = row[:8].copy()
+                    r[7] = 0
+                    kept.append(r)
+                    seen_confi.append(1.0)
             else:
-                if int(row[7]) in cfg.test_range:
+                if eval_remap is not None:
+                    if int(row[7]) in eval_remap:
+                        r = row[:8].copy()
+                        r[7] = eval_remap[int(row[7])]
+                        kept.append(r)
+                        seen_cls.append(r[7])
+                        seen_confi.append(1.0)
+                elif int(row[7]) in cfg.test_range:
                     seen_cls.append(
                         row[7] if int(row[7]) in cfg.train_range else cfg.train_max
                     )
-                    r = row[:8].copy()
-                    if self.anonymous:
-                        r[7] = 0
-                    kept.append(r)
+                    kept.append(row[:8].copy())
                     seen_confi.append(1.0)
         if not kept:
             return np.zeros((0, 8)), np.zeros((0,)), np.zeros((0,))

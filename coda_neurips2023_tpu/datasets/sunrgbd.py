@@ -210,6 +210,16 @@ class SunrgbdDetectionDataset:
                     kept_row[7] = 0
                     kept.append(kept_row)
                     seen_confi.append(1.0)
+        elif getattr(cfg, "test_class_to_dix", None):
+            # cmp eval variant (sunrgbd_cmp_image.py:485-507): keep only the
+            # 20 OV-3DETR raw class ids, remap to cmp vocabulary order
+            for row in boxes_source:
+                if int(row[7]) in cfg.test_class_to_dix:
+                    kept_row = row[:8].copy()
+                    kept_row[7] = cfg.test_class_to_dix[int(row[7])]
+                    kept.append(kept_row)
+                    seen_cls.append(kept_row[7])
+                    seen_confi.append(1.0)
         else:
             # named eval variants (sunrgbd_image.py): test-range classes with
             # their true labels

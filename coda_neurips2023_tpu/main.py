@@ -339,7 +339,9 @@ def do_train(args, ctx):
         datasets["train"], global_bs, shuffle=True, seed=args.seed, drop_last=True
     )
     sample_batch = next(iter(train_loader))
-    state = create_train_state(model, tx, rng, sample_batch)
+    # string-valued fields (im_name, pseudo_box_path, ...) stay host-side
+    sample_arrays = {k: v for k, v in sample_batch.items() if not isinstance(v, list)}
+    state = create_train_state(model, tx, rng, sample_arrays)
     start_epoch = -1
     if args.checkpoint_dir:
         start_epoch, best_metrics, state = resume_if_possible(args.checkpoint_dir, state)
@@ -621,7 +623,12 @@ def run_mode(args, ctx):
 
     if args.show_only:
         return modes.show_boxes(
-            model, state, loader, args.show_dir or os.path.join(out_dir, "show")
+            model, state, loader, args.show_dir or os.path.join(out_dir, "show"),
+            after_nms=args.if_after_nms,
+        )
+    if args.show_box_points:
+        return modes.save_box_points(
+            model, state, loader, args.show_dir or os.path.join(out_dir, "box_points")
         )
     if args.save_novel_only or args.save_novel_with_class_only:
         return modes.save_novel_boxes(
@@ -656,9 +663,32 @@ def run_mode(args, ctx):
 def main(args=None):
     parser = make_args_parser()
     args = parser.parse_args(args)
+    if args.minitest_only:
+        # the reference accepts this flag but its "minitest" split is
+        # commented out of build_dataset (/root/reference/datasets/
+        # __init__.py:85-93 + main.py:1003-1004 would KeyError); error loudly
+        # instead of silently ignoring
+        raise NotImplementedError(
+            "--minitest_only: the reference's minitest split is not wired "
+            "(its build_dataset never creates it); use --test_only"
+        )
+    if (
+        args.model_name == "3detrmulticlasshead"
+        and not args.if_with_clip
+        and args.test_num_semcls > 2
+    ):
+        # the baseline head emits 1+1-way probs; real_test eval against a
+        # multi-class config needs the CLIP zero-shot path (reference
+        # clip_to_class_training, model_3detr.py:2810) or a 1-class config
+        print(
+            "WARNING: 3detrmulticlasshead without --if_with_clip cannot be "
+            "evaluated against a %d-class real_test config (1-way sem probs); "
+            "pass --if_with_clip or --test_num_semcls 1" % args.test_num_semcls
+        )
     ctx = build_everything(args)
     if (
         args.show_only
+        or args.show_box_points
         or args.save_novel_only
         or args.save_novel_with_class_only
         or args.save_seen_feat_only

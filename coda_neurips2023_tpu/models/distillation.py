@@ -266,6 +266,8 @@ def build_clip_distillation_targets(
     keep_objectness: float = 0.5,
     train_range_max: int = 10,
     keep_enabled=False,
+    if_select_box_by_objectness: bool = False,
+    objectness_select_enabled=False,
 ):
     """Returns the criterion targets produced by the reference forward:
     gt_text_correlation_embedding (B, nq, 512),
@@ -303,6 +305,25 @@ def build_clip_distillation_targets(
     # per-sample random selection of distillation boxes
     keys = jax.random.split(rng, b)
     sel = jax.vmap(lambda k: jax.random.permutation(k, nq)[:n_sel])(keys)  # (B, n_sel)
+    if if_select_box_by_objectness:
+        # --if_select_box_by_objectness (reference model_3detr.py:990-1005,
+        # active once curr_epoch >= 540): prefer boxes with objectness > 0.05
+        # (in query order), fill the remainder with random low-objectness
+        # boxes.  The reference keeps ALL above-threshold boxes when there are
+        # more than distillation_box_num; static shapes cap at n_sel.
+        objectness = jax.lax.stop_gradient(outputs["objectness_prob"])  # (B, nq)
+        fg = objectness > 0.05
+
+        def per_sample(key, fg_row):
+            noise = jax.random.uniform(key, (nq,))
+            # sort key: foreground first by query index, then background in
+            # random order
+            idx = jnp.arange(nq)
+            rank = jnp.where(fg_row, idx.astype(jnp.float32), nq + noise * nq)
+            return jnp.argsort(rank)[:n_sel]
+
+        sel_obj = jax.vmap(per_sample)(keys, fg)
+        sel = jnp.where(jnp.asarray(objectness_select_enabled), sel_obj, sel)
 
     sel_rects = jnp.take_along_axis(rects, sel[..., None], axis=1)  # (B, n_sel, 4)
     sel_depth = jnp.take_along_axis(min_depth, sel, axis=1)

@@ -46,7 +46,12 @@ def _forward_last(model, state, batch):
     }
 
 
-def show_boxes(model, state, batches, out_dir: str, objectness_thresh: float = 0.5):
+def show_boxes(model, state, batches, out_dir: str, objectness_thresh: float = 0.5,
+               after_nms: bool = False):
+    """--show_only; with after_nms (--if_after_nms, reference main.py:1040 ->
+    pred_boxes) only NMS-surviving boxes are written."""
+    from coda_neurips2023_tpu.utils.nms import nms_3d_faster
+
     os.makedirs(out_dir, exist_ok=True)
     fwd = jax.jit(lambda s, b: _forward_last(model, s, b))
     n = 0
@@ -58,6 +63,18 @@ def show_boxes(model, state, batches, out_dir: str, objectness_thresh: float = 0
             scan = int(np.asarray(batch["scan_idx"])[i])
             write_ply(pcs[i, :, :3], os.path.join(out_dir, f"{scan:06d}_pc.ply"))
             keep = out["objectness_prob"][i] > objectness_thresh
+            if after_nms and keep.any():
+                # greedy 3D NMS over axis-aligned corner extents
+                # (reference parse_predictions protocol, ap_calculator.py:903)
+                corners = np.asarray(out["box_corners_xyz"][i])
+                boxes = np.concatenate(
+                    [corners.min(axis=1), corners.max(axis=1),
+                     np.asarray(out["objectness_prob"][i])[:, None]], axis=1
+                )
+                pick = nms_3d_faster(boxes[keep], 0.25)
+                idx = np.flatnonzero(keep)[pick]
+                keep = np.zeros_like(keep)
+                keep[idx] = True
             if keep.any():
                 write_bbox_obj(
                     out["box_corners_xyz"][i][keep],
@@ -220,3 +237,52 @@ def calculate_class_confusion(eval_step, state, batches, num_classes: int):
                 if g < num_classes and p < num_classes:
                     confusion[g, p] += 1
     return confusion
+
+
+def save_box_points(model, state, batches, out_dir: str,
+                    objectness_thresh: float = 0.05, min_points: int = 5):
+    """--show_box_points (reference save_box_points, engine.py:1604-1725):
+    for every predicted box with objectness >= 0.05 containing >= 5 points,
+    write `{scan}_{box:04d}_pred_box.npy` (center,size,angle,objectness
+    8-vector) and `..._pred_pc.npy` (the points inside the depth-frame box)."""
+    from coda_neurips2023_tpu.utils.ap_calculator import (
+        flip_axis_to_depth_np,
+        points_in_box_mask,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    fwd = jax.jit(lambda s, b: _forward_last(model, s, b))
+    n_written = 0
+    for batch in batches:
+        device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        out = jax.device_get(fwd(state, device_batch))
+        pcs = np.asarray(batch["point_clouds"])
+        names = batch.get("im_name")
+        for i in range(pcs.shape[0]):
+            if names is not None:
+                stem = os.path.basename(str(names[i])).rsplit(".", 1)[0]
+            else:
+                stem = f"{int(np.asarray(batch['scan_idx'])[i]):06d}"
+            for j in range(out["box_corners"].shape[1]):
+                obj = float(out["objectness_prob"][i, j])
+                if obj < objectness_thresh:
+                    continue
+                box3d = flip_axis_to_depth_np(np.asarray(out["box_corners"][i, j]))
+                mask = points_in_box_mask(pcs[i, :, :3], box3d)
+                if mask.sum() < min_points:
+                    continue
+                row = np.concatenate(
+                    [
+                        np.asarray(out["center_unnormalized"][i, j]),
+                        np.asarray(out["size_unnormalized"][i, j]),
+                        [float(out["angle_continuous"][i, j])],
+                        [obj],
+                    ]
+                )[None]
+                np.save(os.path.join(out_dir, f"{stem}_{j:04d}_pred_box.npy"), row)
+                np.save(
+                    os.path.join(out_dir, f"{stem}_{j:04d}_pred_pc.npy"),
+                    pcs[i][mask],
+                )
+                n_written += 1
+    return n_written

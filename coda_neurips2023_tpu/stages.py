@@ -64,15 +64,38 @@ class StageContext:
                 jax.random.PRNGKey(0), imgs, toks
             )
 
+        # real vocabularies (reference model_3detr.py:286-360): the LVIS-1204
+        # superset when --if_clip_superset, the OV-3DETR cmp list always; the
+        # name-list assets ship with the package (datasets/assets/), an
+        # explicit --asset_dir overrides
+        from coda_neurips2023_tpu.datasets.config import load_cmp_names, load_superset_names
+
+        is_scannet = "scannet" in getattr(args, "dataset_name", "")
+        asset_dir = getattr(args, "asset_dir", None)
+        superset_names = (
+            load_superset_names(asset_dir) if args.if_clip_superset else None
+        )
+        if args.if_clip_superset and superset_names is None:
+            raise FileNotFoundError(
+                "--if_clip_superset needs the LVIS name list (lvis_1204.npy) "
+                "in --asset_dir or the packaged datasets/assets/"
+            )
+        cmp_names = load_cmp_names(asset_dir, scannet=is_scannet)
+        seen_idx = getattr(dataset_config, "seen_vocab_idx", None) or None
+
         banks = build_text_banks(
             dataset_config,
             train_range_max=args.train_range_max,
             test_range_max=args.test_range_max,
+            superset_names=superset_names,
+            cmp_names=cmp_names,
+            seen_idx=seen_idx,
             if_clip_more_prompts=args.if_clip_more_prompts,
             clip_model=self.clip_model,
             clip_variables=self.clip_variables,
             bpe_path=getattr(args, "clip_bpe_path", None),
         )
+        self.superset_prompts = banks.pop("superset_prompts", None)
         self.text_banks = {k: jnp.asarray(v) for k, v in banks.items()}
 
         # frozen CLIP image tower as a pure function (closed over weights)
@@ -120,6 +143,7 @@ class StageContext:
         keep_objectness = getattr(args, "keep_objectness", 0.5)
         begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
         train_range_max = args.train_range_max
+        select_by_obj = getattr(args, "if_select_box_by_objectness", False)
 
         def fn(outputs, batch, rng):
             if "input_image" not in batch:
@@ -149,6 +173,11 @@ class StageContext:
                 keep_objectness=keep_objectness,
                 train_range_max=train_range_max,
                 keep_enabled=keep_enabled,
+                if_select_box_by_objectness=select_by_obj,
+                objectness_select_enabled=(
+                    batch.get("curr_epoch", jnp.int32(0)) >= 540
+                    if select_by_obj else False
+                ),
             )
             targets["text_features_clip"] = text
             targets["logit_scale"] = scale
@@ -258,6 +287,7 @@ class StageContext:
         if_keep_box = getattr(args, "if_keep_box", False)
         keep_objectness = getattr(args, "keep_objectness", 0.5)
         begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
+        select_by_obj = getattr(args, "if_select_box_by_objectness", False)
 
         clip_model = self.clip_model
 
@@ -311,6 +341,11 @@ class StageContext:
                 keep_objectness=keep_objectness,
                 train_range_max=args.train_range_max,
                 keep_enabled=keep_enabled,
+                if_select_box_by_objectness=select_by_obj,
+                objectness_select_enabled=(
+                    batch.get("curr_epoch", jnp.int32(0)) >= 540
+                    if select_by_obj else False
+                ),
             )
 
         clip_vars_device = jax.device_put(self.clip_variables)

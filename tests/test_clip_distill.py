@@ -164,3 +164,59 @@ class TestDistillationTargets:
         conf = np.asarray(targets["weak_confidence_weight"])
         assert np.all(conf[mask[..., 0] == 0] == 0)
         assert np.all(np.isfinite(conf))
+
+
+class TestObjectnessSelection:
+    def test_select_by_objectness_prefers_fg(self):
+        """--if_select_box_by_objectness (model_3detr.py:990-1005): once
+        enabled, boxes with objectness > 0.05 are selected first; disabled or
+        pre-epoch-540 keeps the random permutation."""
+        b, nq, n_sel = 1, 8, 3
+        rng = np.random.default_rng(1)
+        corners = rng.uniform(-1, 1, (b, nq, 8, 3)).astype(np.float32)
+        corners[..., 1] += 4.0  # well in front of the camera (positive depth)
+        outputs = {
+            "box_corners_xyz": jnp.asarray(corners),
+            "size_unnormalized": jnp.asarray(
+                rng.uniform(0.2, 1.0, (b, nq, 3)).astype(np.float32)
+            ),
+            # only queries 2, 5, 7 are foreground
+            "objectness_prob": jnp.asarray([[0.0, 0.0, 0.9, 0.0, 0.01, 0.8, 0.0, 0.6]]),
+        }
+        batch = {
+            "scale_array": jnp.ones((b, 3)),
+            "rot_array": jnp.tile(jnp.eye(3)[None], (b, 1, 1)),
+            "flip_array": jnp.ones((b,)),
+            "K": jnp.tile(
+                jnp.asarray([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]])[None], (b, 1, 1)
+            ),
+            "Rtilt": jnp.tile(jnp.eye(3)[None], (b, 1, 1)),
+            "ori_width": jnp.full((b,), 64.0),
+            "ori_height": jnp.full((b,), 64.0),
+            "x_offset": jnp.zeros((b,)),
+            "y_offset": jnp.zeros((b,)),
+            "image_flip_array": jnp.ones((b,)),
+            "flip_length": jnp.full((b,), 64.0),
+            "input_image": jnp.full((b, 64, 64, 3), 128.0),
+        }
+
+        def fake_clip(images):
+            return jnp.mean(images, axis=(1, 2)).repeat(11, axis=-1)[:, :32]
+
+        kw = dict(
+            outputs=outputs, batch=batch, clip_apply_fn=fake_clip,
+            distillation_box_num=n_sel, crop_size=16,
+            if_select_box_by_objectness=True,
+        )
+        on = build_clip_distillation_targets(
+            jax.random.PRNGKey(0), objectness_select_enabled=True, **kw
+        )
+        mask_on = np.asarray(on["gt_text_correlation_embedding_mask"])[0, :, 0]
+        # the supervised slots are exactly the 3 foreground queries
+        assert set(np.flatnonzero(mask_on)) == {2, 5, 7}
+
+        off = build_clip_distillation_targets(
+            jax.random.PRNGKey(0), objectness_select_enabled=False, **kw
+        )
+        mask_off = np.asarray(off["gt_text_correlation_embedding_mask"])[0, :, 0]
+        assert mask_off.sum() == n_sel  # random permutation path still works

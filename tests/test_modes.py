@@ -79,3 +79,39 @@ def test_class_confusion(setup):
     confusion = modes.calculate_class_confusion(eval_step, state, loader, 5)
     assert confusion.shape == (5, 5)
     assert confusion.sum() >= 0
+
+
+def test_show_boxes_after_nms(setup, tmp_path):
+    """--if_after_nms writes only NMS-surviving predicted boxes."""
+    model, state, loader, stage_ctx = setup
+    batch = next(iter(loader))
+    n = modes.show_boxes(model, state, [batch], str(tmp_path / "nms"),
+                         objectness_thresh=0.0, after_nms=True)
+    assert n > 0
+    n2 = modes.show_boxes(model, state, [batch], str(tmp_path / "raw"),
+                          objectness_thresh=0.0, after_nms=False)
+    assert n2 == n
+    # NMS must not write MORE box lines than the raw mode
+    def obj_lines(d):
+        total = 0
+        for f in os.listdir(d):
+            if f.endswith("_pred_boxes.obj"):
+                total += sum(1 for l in open(os.path.join(d, f)) if l.startswith("v "))
+        return total
+    assert obj_lines(tmp_path / "nms") <= obj_lines(tmp_path / "raw")
+
+
+def test_save_box_points_mode(setup, tmp_path):
+    model, state, loader, stage_ctx = setup
+    batch = next(iter(loader))
+    n = modes.save_box_points(model, state, [batch], str(tmp_path),
+                              objectness_thresh=0.0, min_points=1)
+    files = os.listdir(tmp_path)
+    assert n > 0
+    assert any(f.endswith("_pred_box.npy") for f in files)
+    assert any(f.endswith("_pred_pc.npy") for f in files)
+    # box file holds the 8-vector (center,size,angle,objectness)
+    import numpy as np
+
+    box = np.load(tmp_path / sorted(f for f in files if f.endswith("_pred_box.npy"))[0])
+    assert box.shape == (1, 8)

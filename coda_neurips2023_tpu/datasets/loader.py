@@ -2,15 +2,26 @@
 
 Replaces torch DataLoader + DistributedSampler (reference main.py:1004-1035):
 under single-controller SPMD one loader feeds the GLOBAL batch; there is no
-per-rank sampler.  A small thread pool overlaps sample assembly (numpy
-augmentations, image IO) with device compute, and string-valued fields are
-split out of the array batch (kept on host for the pseudo-label writer).
+per-rank sampler.  String-valued fields are split out of the array batch
+(kept on host for the pseudo-label writer).
+
+Two worker backends:
+  * threads (default): numpy/cv2 release the GIL for the heavy ops; fine for
+    small batches and tests;
+  * processes (use_processes=True, the CLI train path): real parallel sample
+    assembly like the reference's 4-worker-per-GPU DataLoader
+    (main.py:1027-1033).  Each BATCH is built under a deterministic
+    task seed (dataset.rng reseeded per task), so augmentations are
+    reproducible regardless of worker scheduling -- stronger than the
+    reference's per-worker np.random seeding (my_worker_init_fn).
+
+`prefetch` bounds how many batches are in flight (reference: 2x workers).
 """
 
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
+import multiprocessing as mp
 from typing import Iterator, Optional
 
 import numpy as np
@@ -29,9 +40,39 @@ def collate(samples: list) -> dict:
     return batch
 
 
+# ---- process-worker plumbing (fork start: dataset inherited, no pickling of
+# samples on the way in; batches come back pickled once) ----
+_WORKER_DATASET = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _build_batch(dataset, idxs, batch_size, pad_last, task_seed):
+    if task_seed is not None and hasattr(dataset, "rng"):
+        dataset.rng = np.random.default_rng(task_seed)
+    samples = [dataset[i] for i in idxs]
+    n_valid = len(samples)
+    if pad_last and n_valid < batch_size:
+        samples = samples + [samples[-1]] * (batch_size - n_valid)
+    batch = collate(samples)
+    if pad_last:
+        mask = np.zeros(len(samples), np.bool_)
+        mask[:n_valid] = True
+        batch["pad_mask"] = mask
+    return batch
+
+
+def _proc_build_batch(args):
+    idxs, batch_size, pad_last, task_seed = args
+    return _build_batch(_WORKER_DATASET, idxs, batch_size, pad_last, task_seed)
+
+
 class Loader:
     def __init__(self, dataset, batch_size, shuffle=False, seed=0, drop_last=True,
-                 num_workers=4, pad_last=False):
+                 num_workers=4, pad_last=False, use_processes=False, prefetch=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,50 +85,73 @@ class Loader:
         # per-row "pad_mask" marks real rows; engine.evaluate slices them out
         # before the AP meter.
         self.pad_last = pad_last and not drop_last
+        self.use_processes = use_processes and num_workers > 1
+        self.prefetch = prefetch if prefetch is not None else max(2 * num_workers, 2)
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make_batch(self, idxs):
-        samples = [self.dataset[i] for i in idxs]
-        n_valid = len(samples)
-        if self.pad_last and n_valid < self.batch_size:
-            samples = samples + [samples[-1]] * (self.batch_size - n_valid)
-        batch = collate(samples)
-        if self.pad_last:
-            mask = np.zeros(len(samples), np.bool_)
-            mask[:n_valid] = True
-            batch["pad_mask"] = mask
-        return batch
-
-    def __iter__(self) -> Iterator[dict]:
+    def _index_batches(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        epoch = self.epoch
         self.epoch += 1
         end = n - (n % self.batch_size) if self.drop_last else n
-        if self.num_workers > 1:
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                futures = []
-                for start in range(0, end, self.batch_size):
-                    idxs = order[start : start + self.batch_size]
-                    futures.append(pool.submit(self._make_batch, idxs))
-                    # bounded pipeline: keep at most 2 batches in flight
-                    while len(futures) > 2:
-                        yield futures.pop(0).result()
-                for f in futures:
-                    yield f.result()
+        out = []
+        for bi, start in enumerate(range(0, end, self.batch_size)):
+            task_seed = (self.seed * 1_000_003 + epoch * 131_071 + bi) & 0x7FFFFFFF
+            out.append((order[start : start + self.batch_size], task_seed))
+        return out
+
+    def __iter__(self) -> Iterator[dict]:
+        tasks = self._index_batches()
+        if self.use_processes:
+            yield from self._iter_processes(tasks)
+        elif self.num_workers > 1:
+            yield from self._iter_threads(tasks)
         else:
-            for start in range(0, end, self.batch_size):
-                idxs = order[start : start + self.batch_size]
-                yield self._make_batch(idxs)
+            for idxs, task_seed in tasks:
+                yield _build_batch(
+                    self.dataset, idxs, self.batch_size, self.pad_last, task_seed
+                )
+
+    def _iter_threads(self, tasks):
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            futures = []
+            for idxs, task_seed in tasks:
+                futures.append(
+                    pool.submit(
+                        _build_batch, self.dataset, idxs, self.batch_size,
+                        self.pad_last, task_seed,
+                    )
+                )
+                while len(futures) > self.prefetch:
+                    yield futures.pop(0).result()
+            for f in futures:
+                yield f.result()
+
+    def _iter_processes(self, tasks):
+        try:
+            ctx = mp.get_context("fork")
+        except ValueError:  # platform without fork
+            yield from self._iter_threads(tasks)
+            return
+        args = [
+            (idxs, self.batch_size, self.pad_last, task_seed)
+            for idxs, task_seed in tasks
+        ]
+        with ctx.Pool(self.num_workers, initializer=_proc_init,
+                      initargs=(self.dataset,)) as pool:
+            # imap keeps batch order; chunksize 1 keeps the pipeline deep
+            yield from pool.imap(_proc_build_batch, args, chunksize=1)
 
 
 def make_loader(dataset, batch_size, shuffle=False, seed=0, drop_last=True,
-                num_workers=4, pad_last=False):
+                num_workers=4, pad_last=False, use_processes=False, prefetch=None):
     return Loader(dataset, batch_size, shuffle, seed, drop_last, num_workers,
-                  pad_last=pad_last)
+                  pad_last=pad_last, use_processes=use_processes, prefetch=prefetch)

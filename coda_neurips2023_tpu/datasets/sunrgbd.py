@@ -429,23 +429,15 @@ def _my_compute_box_3d_np(center, size, heading_angle):
 
 
 def _corners_np_camera(centers, sizes, angles):
-    import jax.numpy as jnp
-
+    # pure numpy: the input pipeline must not touch jax (process workers +
+    # axon tunnel roundtrips; see ops/box_ops.py numpy twins)
     from coda_neurips2023_tpu.ops import box_ops
 
-    cam = box_ops.flip_axis_to_camera(jnp.asarray(centers))
-    return np.asarray(
-        box_ops.get_3d_box_batch(jnp.asarray(sizes), jnp.asarray(angles), cam)
-    )
+    cam = box_ops.flip_axis_to_camera_np(np.asarray(centers))
+    return box_ops.get_3d_box_batch_np(sizes, angles, cam)
 
 
 def _corners_np_xyz(centers, sizes, angles):
-    import jax.numpy as jnp
-
     from coda_neurips2023_tpu.ops import box_ops
 
-    return np.asarray(
-        box_ops.get_3d_box_batch_xyz(
-            jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers)
-        )
-    )
+    return box_ops.get_3d_box_batch_xyz_np(sizes, angles, centers)

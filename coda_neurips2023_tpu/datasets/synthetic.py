@@ -16,18 +16,12 @@ from coda_neurips2023_tpu.ops import box_ops
 
 
 def _np_corners_camera(centers, sizes, angles):
-    import jax.numpy as jnp
-
-    cam = box_ops.flip_axis_to_camera(jnp.asarray(centers))
-    return np.asarray(box_ops.get_3d_box_batch(jnp.asarray(sizes), jnp.asarray(angles), cam))
+    cam = box_ops.flip_axis_to_camera_np(np.asarray(centers))
+    return box_ops.get_3d_box_batch_np(sizes, angles, cam)
 
 
 def _np_corners_xyz(centers, sizes, angles):
-    import jax.numpy as jnp
-
-    return np.asarray(
-        box_ops.get_3d_box_batch_xyz(jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers))
-    )
+    return box_ops.get_3d_box_batch_xyz_np(sizes, angles, centers)
 
 
 class SyntheticDetectionDataset:
@@ -106,11 +100,9 @@ class SyntheticDetectionDataset:
         angle_cls = np.zeros((max_obj,), np.int64)
         angle_res = np.zeros((max_obj,), np.float32)
         if self.use_angles:
-            import jax.numpy as jnp
-
-            ac, ar = cfg.angle2class(jnp.asarray(angles))
-            angle_cls = np.asarray(ac, np.int64)
-            angle_res = np.asarray(ar, np.float32)
+            ac, ar = box_ops.angle2class_np(angles, cfg.num_angle_bin)
+            angle_cls = ac.astype(np.int64)
+            angle_res = ar.astype(np.float32)
 
         corners_cam = (
             _np_corners_camera(centers[None], sizes[None], angles[None])[0]

@@ -335,8 +335,12 @@ def do_train(args, ctx):
     rng = jax.random.PRNGKey(args.seed)
 
     global_bs = args.batchsize_per_gpu * mesh.devices.size
+    # process workers for real-data sample assembly (reference 4-worker
+    # DataLoader, main.py:1027-1033); threads when workers <= 1
     train_loader = make_loader(
-        datasets["train"], global_bs, shuffle=True, seed=args.seed, drop_last=True
+        datasets["train"], global_bs, shuffle=True, seed=args.seed, drop_last=True,
+        num_workers=max(args.dataset_num_workers, 1),
+        use_processes=args.dataset_num_workers > 1,
     )
     sample_batch = next(iter(train_loader))
     # string-valued fields (im_name, pseudo_box_path, ...) stay host-side

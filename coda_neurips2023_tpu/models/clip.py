@@ -353,7 +353,14 @@ def _block_params(sd, prefix, heads):
 
 def convert_openai_checkpoint(ckpt_path: str) -> dict:
     """OpenAI CLIP .pt -> flax params for the CLIP module above."""
-    sd = _torch_state_dict(ckpt_path)
+    return convert_openai_state_dict(_torch_state_dict(ckpt_path))
+
+
+def convert_openai_state_dict(sd: dict, vision_heads=None, text_heads=None) -> dict:
+    """OpenAI CLIP state dict (name -> np array) -> flax params.
+
+    Head counts follow the OpenAI convention width//64 (CLIP/clip/model.py:
+    990,1007) unless overridden (tiny test configs)."""
     vision_layers = len(
         {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")}
     )
@@ -361,9 +368,9 @@ def convert_openai_checkpoint(ckpt_path: str) -> dict:
         {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}
     )
     vision_width = sd["visual.conv1.weight"].shape[0]
-    vision_heads = vision_width // 64
+    vision_heads = vision_heads or max(vision_width // 64, 1)
     text_width = sd["ln_final.weight"].shape[0]
-    text_heads = text_width // 64
+    text_heads = text_heads or max(text_width // 64, 1)
 
     visual = {
         "conv1": {"kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)},

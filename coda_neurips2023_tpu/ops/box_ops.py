@@ -145,3 +145,99 @@ def shift_scale_points(pred_xyz: jnp.ndarray, src_range, dst_range=None) -> jnp.
 def scale_points(pred_xyz: jnp.ndarray, mult_factor: jnp.ndarray) -> jnp.ndarray:
     """(B, N, 3) * (B, 3) broadcast scale (pc_util.py:69-73)."""
     return pred_xyz * mult_factor[:, None, :]
+
+
+# ---------------------------------------------------------------- numpy twins
+# Host-side (input pipeline / AP path) versions of the corner math.  The
+# dataset __getitem__ MUST NOT touch jax: under the axon TPU tunnel every jnp
+# op is a device roundtrip, and process-fork data workers would re-initialize
+# a jax backend in the child (deadlock).  Parity with the jnp versions is
+# asserted in tests/test_ops.py::test_numpy_twins_match_jnp.
+
+def _roty_batch_np(t):
+    c, s = np.cos(t), np.sin(t)
+    out = np.zeros(t.shape + (3, 3), np.float32)
+    out[..., 0, 0] = c
+    out[..., 0, 2] = s
+    out[..., 1, 1] = 1
+    out[..., 2, 0] = -s
+    out[..., 2, 2] = c
+    return out
+
+
+def _rotz_batch_np(t):
+    c, s = np.cos(t), np.sin(t)
+    out = np.zeros(t.shape + (3, 3), np.float32)
+    out[..., 0, 0] = c
+    out[..., 0, 1] = -s
+    out[..., 1, 0] = s
+    out[..., 1, 1] = c
+    out[..., 2, 2] = 1
+    return out
+
+
+def flip_axis_to_camera_np(pc: np.ndarray) -> np.ndarray:
+    return np.stack([pc[..., 0], -pc[..., 2], pc[..., 1]], axis=-1)
+
+
+def flip_axis_to_depth_np(pc: np.ndarray) -> np.ndarray:
+    return np.stack([pc[..., 0], pc[..., 2], -pc[..., 1]], axis=-1)
+
+
+def get_3d_box_batch_np(box_size, angle, center) -> np.ndarray:
+    box_size = np.asarray(box_size, np.float32)
+    angle = np.asarray(angle, np.float32)
+    center = np.asarray(center, np.float32)
+    l = box_size[..., 0:1] / 2
+    w = box_size[..., 1:2] / 2
+    h = box_size[..., 2:3] / 2
+    x = np.concatenate([l, l, -l, -l, l, l, -l, -l], axis=-1)
+    y = np.concatenate([h, h, h, h, -h, -h, -h, -h], axis=-1)
+    z = np.concatenate([w, -w, -w, w, w, -w, -w, w], axis=-1)
+    corners = np.stack([x, y, z], axis=-1)
+    r = _roty_batch_np(angle)
+    corners = np.einsum("...ij,...kj->...ik", corners, r)
+    return corners + center[..., None, :]
+
+
+def get_3d_box_batch_xyz_np(box_size, angle, center) -> np.ndarray:
+    box_size = np.asarray(box_size, np.float32)
+    angle = np.asarray(angle, np.float32)
+    center = np.asarray(center, np.float32)
+    l = box_size[..., 0:1] / 2
+    w = box_size[..., 1:2] / 2
+    h = box_size[..., 2:3] / 2
+    x = np.concatenate([-l, l, l, -l, -l, l, l, -l], axis=-1)
+    y = np.concatenate([w, w, -w, -w, w, w, -w, -w], axis=-1)
+    z = np.concatenate([h, h, h, h, -h, -h, -h, -h], axis=-1)
+    corners = np.stack([x, y, z], axis=-1)
+    r = _rotz_batch_np(-angle)
+    corners = np.einsum("...ij,...kj->...ik", corners, r)
+    return corners + center[..., None, :]
+
+
+def my_compute_box_3d_np(center, size, heading_angle) -> np.ndarray:
+    center = np.asarray(center, np.float32)
+    size = np.asarray(size, np.float32)
+    heading_angle = np.asarray(heading_angle, np.float32)
+    l = size[..., 0:1]
+    w = size[..., 1:2]
+    h = size[..., 2:3]
+    x = np.concatenate([-l, l, l, -l, -l, l, l, -l], axis=-1)
+    y = np.concatenate([w, w, -w, -w, w, w, -w, -w], axis=-1)
+    z = np.concatenate([h, h, h, h, -h, -h, -h, -h], axis=-1)
+    corners = np.stack([x, y, z], axis=-1)
+    r = _rotz_batch_np(-heading_angle)
+    corners = np.einsum("...ij,...kj->...ik", corners, r)
+    return corners + center[..., None, :]
+
+
+def angle2class_np(angle, num_angle_bin: int):
+    angle = np.asarray(angle, np.float32)
+    two_pi = 2 * np.pi
+    angle = angle % two_pi
+    angle_per_class = two_pi / float(num_angle_bin)
+    shifted = (angle + angle_per_class / 2) % two_pi
+    class_id = np.floor(shifted / angle_per_class).astype(np.int32)
+    residual = shifted - (class_id.astype(angle.dtype) * angle_per_class + angle_per_class / 2)
+    return class_id, residual

@@ -196,3 +196,29 @@ def test_eval_pads_and_meters_every_scan():
     ap = evaluate(fake_eval_step, None, loader, cfg, exact_eval=False)
     assert ap.scan_cnt == n, (ap.scan_cnt, n)
     assert len(ap.gt_map_cls) == n
+
+
+def test_process_loader_matches_serial():
+    """Process-worker loader (fork) yields the same deterministic batches as
+    the serial path: batches are built under per-task seeds, so worker
+    scheduling cannot change results."""
+    import numpy as np
+
+    from coda_neurips2023_tpu.datasets.config import SunrgbdAnonymousConfig
+    from coda_neurips2023_tpu.datasets.loader import make_loader
+    from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset
+
+    cfg = SunrgbdAnonymousConfig()
+    ds = SyntheticDetectionDataset(cfg, num_scenes=9, num_points=128)
+    serial = list(make_loader(ds, 4, shuffle=True, seed=3, num_workers=1))
+    procs = list(
+        make_loader(ds, 4, shuffle=True, seed=3, num_workers=3, use_processes=True)
+    )
+    assert len(serial) == len(procs) == 2
+    for a, b in zip(serial, procs):
+        assert set(a) == set(b)
+        for k in a:
+            if isinstance(a[k], list):
+                assert a[k] == b[k]
+            else:
+                np.testing.assert_array_equal(a[k], b[k])

@@ -1,5 +1,9 @@
 """Stage-2 discovery: device NMS parity, GT-overlap exclusion, writer."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import os
 
 import numpy as np

@@ -1,5 +1,9 @@
 """--if_keep_box path: novel predictions appended to GT."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 
 import jax

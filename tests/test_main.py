@@ -1,5 +1,9 @@
 """CLI wiring smoke tests (synthetic data-free mode, tiny model)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

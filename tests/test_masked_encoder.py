@@ -1,5 +1,9 @@
 """Masked encoder variant (--enc_type masked): shapes + mask semantics."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -1,5 +1,9 @@
 """Model forward shape tests (tiny shapes, CPU)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """Secondary CLI modes over the synthetic dataset (tiny model, CPU mesh)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import os
 import types
 

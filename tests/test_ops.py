@@ -316,3 +316,39 @@ class TestBoxOps:
         np.testing.assert_allclose(
             np.asarray(jnp.mean(corners, axis=2)), np.asarray(centers), rtol=1e-4, atol=1e-4
         )
+
+
+def test_numpy_twins_match_jnp():
+    """Host-pipeline numpy corner math == device jnp versions (the dataset
+    __getitem__ must not touch jax: axon roundtrips + fork-worker safety)."""
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.ops import box_ops as B
+
+    rng = np.random.default_rng(0)
+    sizes = rng.uniform(0.2, 2.0, (4, 7, 3)).astype(np.float32)
+    angles = rng.uniform(-np.pi, np.pi, (4, 7)).astype(np.float32)
+    centers = rng.uniform(-3, 3, (4, 7, 3)).astype(np.float32)
+
+    np.testing.assert_allclose(
+        B.flip_axis_to_camera_np(centers),
+        np.asarray(B.flip_axis_to_camera(jnp.asarray(centers))), rtol=1e-6)
+    np.testing.assert_allclose(
+        B.flip_axis_to_depth_np(centers),
+        np.asarray(B.flip_axis_to_depth(jnp.asarray(centers))), rtol=1e-6)
+    np.testing.assert_allclose(
+        B.get_3d_box_batch_np(sizes, angles, centers),
+        np.asarray(B.get_3d_box_batch(jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers))),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        B.get_3d_box_batch_xyz_np(sizes, angles, centers),
+        np.asarray(B.get_3d_box_batch_xyz(jnp.asarray(sizes), jnp.asarray(angles), jnp.asarray(centers))),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        B.my_compute_box_3d_np(centers, sizes, angles),
+        np.asarray(B.my_compute_box_3d(jnp.asarray(centers), jnp.asarray(sizes), jnp.asarray(angles))),
+        rtol=1e-5, atol=1e-5)
+    c_np, r_np = B.angle2class_np(angles, 12)
+    c_j, r_j = B.angle2class(jnp.asarray(angles), 12)
+    np.testing.assert_array_equal(c_np, np.asarray(c_j))
+    np.testing.assert_allclose(r_np, np.asarray(r_j), rtol=1e-5, atol=1e-6)

@@ -1,5 +1,9 @@
 """Stage-1/stage-2 training integration on the virtual CPU mesh (tiny CLIP)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import types
 
 import numpy as np

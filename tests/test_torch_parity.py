@@ -222,3 +222,69 @@ def test_fourier_position_embedding_parity(ref):
     np.testing.assert_allclose(
         np.asarray(out_j), out_t.transpose(0, 2, 1), rtol=1e-4, atol=1e-5
     )
+
+
+def _load_ref_clip_module():
+    import importlib.util
+
+    path = os.path.join(REF, "CLIP", "clip", "model.py")
+    spec = importlib.util.spec_from_file_location("_ref_clip_model", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_clip_towers_parity():
+    """Reference (vendored OpenAI) torch CLIP forward vs our flax CLIP through
+    convert_openai_state_dict -- CLIP scores drive the 0.3/0.5 discovery
+    gates, so tower parity matters (anchors CLIP/clip/model.py:595-1110)."""
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.models.clip import CLIP, convert_openai_state_dict
+
+    rc = _load_ref_clip_module()
+    torch.manual_seed(4)
+    embed, res, patch, vw, vl = 16, 16, 8, 64, 2
+    ctx, vocab, tw, th, tl = 8, 64, 32, 2, 2
+    ref_clip = rc.CLIP(
+        embed_dim=embed, image_resolution=res, vision_layers=vl,
+        vision_width=vw, vision_patch_size=patch, context_length=ctx,
+        vocab_size=vocab, transformer_width=tw, transformer_heads=th,
+        transformer_layers=tl,
+    ).eval().float()
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in ref_clip.state_dict().items()}
+    params = convert_openai_state_dict(sd, text_heads=th)
+
+    mine = CLIP(
+        embed_dim=embed, image_resolution=res, vision_patch_size=patch,
+        vision_width=vw, vision_layers=vl, text_width=tw, text_layers=tl,
+        text_heads=th, context_length=ctx, vocab_size=vocab,
+    )
+
+    rng = np.random.default_rng(4)
+    # our encode_image takes PREPROCESSED tensors; feed the same values to the
+    # torch visual tower directly (NCHW) and to ours (NHWC)
+    img = rng.standard_normal((2, 3, res, res)).astype(np.float32)
+    with torch.no_grad():
+        # vendored ViT forward returns (pooled_embedding, all_tokens)
+        # (CLIP/clip/model.py:612-660)
+        out_img_t = ref_clip.visual(torch.from_numpy(img))[0].numpy()
+    out_img_j = np.asarray(
+        mine.apply({"params": params}, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                   method=mine.encode_image)
+    )
+    np.testing.assert_allclose(out_img_j, out_img_t, rtol=2e-4, atol=1e-5)
+
+    # text tower: tokens with EOT (= argmax position is the highest id)
+    toks = np.zeros((2, ctx), np.int64)
+    toks[0, :4] = [1, 5, 9, vocab - 1]
+    toks[1, :6] = [2, 7, 11, 3, 8, vocab - 1]
+    with torch.no_grad():
+        out_txt_t = ref_clip.encode_text(torch.from_numpy(toks)).numpy()
+    out_txt_j = np.asarray(
+        mine.apply({"params": params}, jnp.asarray(toks.astype(np.int32)),
+                   method=mine.encode_text)
+    )
+    np.testing.assert_allclose(out_txt_j, out_txt_t, rtol=2e-4, atol=1e-5)

@@ -1,5 +1,9 @@
 """End-to-end train-step + eval integration tests on the virtual 8-CPU mesh."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import types
 
 import numpy as np

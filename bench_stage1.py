@@ -1,5 +1,11 @@
-"""Stage-1 (CLIP distillation) train-step throughput — two-phase jits."""
+"""Stage-1 (CLIP distillation) train-step throughput — two-phase jits.
 
+--dtype bf16 runs the CLIP tower in bfloat16 (reference runs CLIP fp16,
+CLIP/clip/model.py:1146 convert_weights); --agreement additionally checks
+that bf16 CLIP-score-driven gates agree with fp32 (the 0.3/0.5 discovery
+thresholds tolerate small numeric drift)."""
+
+import argparse
 import time
 import types
 
@@ -7,6 +13,12 @@ import numpy as np
 
 
 def main():
+    cli = argparse.ArgumentParser()
+    cli.add_argument("--dtype", default="float32", choices=["float32", "bf16"])
+    cli.add_argument("--agreement", action="store_true")
+    cli.add_argument("--decompose", action="store_true",
+                     help="time phase A (targets) and phase B (train) separately")
+    cli_args = cli.parse_args()
     import jax
 
     from coda_neurips2023_tpu.criterion import build_criterion
@@ -62,7 +74,9 @@ def main():
         save_objectness=0.3, clip_driven_keep_thres=0.3,
         if_accumulate_former_pseudo_labels=False,
         if_keep_box=False,
+        compute_dtype=cli_args.dtype,
     )
+    args.if_clip_weak_labels = cli_args.agreement
     tx, schedule = build_optimizer(args, None, 600)
     ctx = StageContext(args, eval_cfg)
     criterion = build_criterion(args, cfg)
@@ -79,7 +93,84 @@ def main():
         state, m = step(state, batch, jax.random.PRNGKey(1))
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"stage-1 train step: {dt*1000:.0f} ms, {B/dt:.1f} scenes/s", flush=True)
+    print(
+        f"stage-1 train step [{cli_args.dtype}]: {dt*1000:.0f} ms, "
+        f"{B/dt:.1f} scenes/s", flush=True
+    )
+
+    if cli_args.decompose:
+        import jax.numpy as jnp
+
+        targets_step = ctx.make_targets_step(model)
+        tgt = targets_step(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(tgt)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tgt = targets_step(state, batch, jax.random.PRNGKey(1))
+        float(jnp.sum(tgt["gt_text_correlation_embedding_mask"]))
+        dt_a = (time.perf_counter() - t0) / iters
+        print(f"phase A (fwd + crops + CLIP): {dt_a*1000:.0f} ms")
+
+        from coda_neurips2023_tpu.engine import make_train_step
+
+        tstep = make_train_step(
+            model, criterion, tx, criterion_consts=ctx.criterion_consts(),
+            lr_schedule=schedule,
+        )
+        batch_b = {**batch, **jax.device_get(tgt)}
+        s2, m2 = tstep(state, batch_b, jax.random.PRNGKey(1))
+        float(m2["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s2, m2 = tstep(state, batch_b, jax.random.PRNGKey(1))
+        float(m2["loss"])
+        dt_b = (time.perf_counter() - t0) / iters
+        print(f"phase B (train fwd+bwd+opt): {dt_b*1000:.0f} ms")
+
+        # CLIP image tower alone at the crop batch size
+        n_crops = B * args.distillation_box_num
+        crops = jnp.zeros((n_crops, 224, 224, 3), jnp.float32)
+        clip_vars = jax.device_put(ctx.clip_variables)
+        clip_model = ctx.clip_model
+
+        @jax.jit
+        def clip_fwd(v, x):
+            return clip_model.apply(v, x, method=clip_model.encode_image)
+
+        e = clip_fwd(clip_vars, crops)
+        jax.block_until_ready(e)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            e = clip_fwd(clip_vars, crops)
+        float(jnp.sum(e))
+        print(f"CLIP tower alone ({n_crops} crops): "
+              f"{(time.perf_counter()-t0)/iters*1000:.0f} ms")
+
+    if cli_args.agreement:
+        # fp32-vs-bf16 CLIP gate agreement on the SAME batch/rng: weak-label
+        # argmax and the 0.3/0.5 score thresholds
+        import jax.numpy as jnp
+
+        results = {}
+        for dt_name in ("float32", "bf16"):
+            args.compute_dtype = dt_name
+            ctx_d = StageContext(args, eval_cfg)
+            targets_step = ctx_d.make_targets_step(model)
+            tgt = jax.device_get(targets_step(state, batch, jax.random.PRNGKey(1)))
+            results[dt_name] = tgt
+        lab32 = results["float32"]["weak_box_cate_label"]
+        lab16 = results["bf16"]["weak_box_cate_label"]
+        conf32 = results["float32"]["weak_confidence_weight"]
+        conf16 = results["bf16"]["weak_confidence_weight"]
+        live = np.asarray(results["float32"]["gt_text_correlation_embedding_mask"])[..., 0] > 0
+        n = max(live.sum(), 1)
+        label_agree = float((np.asarray(lab32 == lab16) & live).sum()) / n
+        for thr in (0.3, 0.5):
+            gate_agree = float(
+                (((np.asarray(conf32) > thr) == (np.asarray(conf16) > thr)) & live).sum()
+            ) / n
+            print(f"bf16 gate>{thr} agreement on live crops: {gate_agree:.4f}")
+        print(f"bf16 weak-label argmax agreement on live crops: {label_agree:.4f}")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,7 @@ def build_dataset(args):
         # data-free mode: synthetic scenes with the same contract
         cfg = _sunrgbd_cfg(args, anonymous=True)
         real_cfg = _sunrgbd_cfg(args, anonymous=False)
+        cmp_cfg = _sunrgbd_cfg(args, cmp_vocab=True)
         mk = functools.partial(
             SyntheticDetectionDataset,
             num_points=getattr(args, "num_points", 20000),
@@ -114,9 +115,9 @@ def build_dataset(args):
             "train": mk(cfg, num_scenes=n, seed=args.seed),
             "test": mk(cfg, num_scenes=n_eval, seed=args.seed + 1),
             "real_test": mk(real_cfg, num_scenes=n_eval, seed=args.seed + 2),
-            "real_cmp_test": mk(real_cfg, num_scenes=n_eval, seed=args.seed + 3),
+            "real_cmp_test": mk(cmp_cfg, num_scenes=n_eval, seed=args.seed + 3),
         }
-        return datasets, cfg, real_cfg, real_cfg
+        return datasets, cfg, real_cfg, cmp_cfg
 
     if name.startswith("sunrgbd"):
         anon_cfg = _sunrgbd_cfg(args, anonymous=True)

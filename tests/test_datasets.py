@@ -222,3 +222,56 @@ def test_process_loader_matches_serial():
                 assert a[k] == b[k]
             else:
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_scannet_raw_id_pipeline(tmp_path):
+    """End-to-end ScanNet sample assembly with RAW scannet-200 class ids on
+    disk: anonymous train (weak labels at train_range_list positions) and
+    scannet50 eval (labels remapped via class_id_to_idx)."""
+    from coda_neurips2023_tpu.datasets.config import Scannet50ImageConfig
+    from tests.test_vocab import SCANNET_TRAIN_LIST, SCANNET_TEST_LIST
+
+    rng = np.random.default_rng(2)
+    for split in ("train", "val"):
+        data_dir = str(tmp_path / f"scannet_{split}")
+        os.makedirs(data_dir)
+        for i in range(2):
+            name = f"scene{i:04d}_00_0"
+            pc = rng.uniform(-3, 3, (800, 6)).astype(np.float32)
+            np.save(os.path.join(data_dir, name + "_pc.npy"), pc)
+            boxes = np.zeros((4, 8))
+            boxes[:, 0:3] = rng.uniform(-2, 2, (4, 3))
+            boxes[:, 3:6] = rng.uniform(0.2, 0.8, (4, 3))
+            boxes[:, 7] = [2, 1163, 3, 71]  # seen, seen, excluded, novel
+            np.save(os.path.join(data_dir, name + "_bbox.npy"), boxes)
+
+    anon = ScannetAnonymousConfig(
+        train_range=(0, 10), test_range=(0, 60),
+        train_range_list=SCANNET_TRAIN_LIST, test_range_list=SCANNET_TEST_LIST,
+    )
+    ds = ScannetDetectionDataset(
+        anon, "train", root_dir=str(tmp_path / "scannet"), num_points=256,
+        augment=False, if_input_image=False, anonymous=True, seed=0,
+    )
+    s = ds[0]
+    present = s["gt_box_present"] > 0
+    assert present.sum() == 2  # only raw ids 2 and 1163 are in the train list
+    assert np.all(s["gt_box_sem_cls_label"][present] == 0)  # anonymized
+    # weak labels are positions in train_range_list: 2 -> 0, 1163 -> 9
+    assert sorted(s["gt_box_seen_sem_cls_label"][present].tolist()) == [0, 9]
+
+    ecfg = Scannet50ImageConfig(
+        train_range_list=SCANNET_TRAIN_LIST, test_range_list=SCANNET_TEST_LIST
+    )
+    ds_eval = ScannetDetectionDataset(
+        ecfg, "val", root_dir=str(tmp_path / "scannet"), num_points=256,
+        augment=False, if_input_image=False, anonymous=False, seed=0,
+    )
+    s = ds_eval[0]
+    present = s["gt_box_present"] > 0
+    # 71 is the 51st UNSEEN test id -> cut by reset_scannet_num=50
+    # (reference scannet50_image.py:52-58 cap); 3 is floor (not in the lists)
+    assert 71 not in ecfg.class_id_to_idx
+    assert present.sum() == 2
+    labels = sorted(s["gt_box_sem_cls_label"][present].tolist())
+    assert labels == sorted(ecfg.class_id_to_idx[c] for c in (2, 1163))

@@ -35,10 +35,24 @@ from coda_neurips2023_tpu.models.clip import IMAGE_MEAN, IMAGE_STD
 from coda_neurips2023_tpu.ops.projection import corners_to_image_rects, unaugment_corners
 
 
+def _interp_matrix(coords, size: int):
+    """Bilinear interpolation matrix: rows are hat-kernel weights around the
+    (clipped) source coordinate -- at most two taps per row, row-sum 1."""
+    coords = jnp.clip(coords, 0.0, size - 1.0)
+    i = jnp.arange(size, dtype=jnp.float32)
+    return jnp.clip(1.0 - jnp.abs(coords[:, None] - i[None, :]), 0.0, 1.0)
+
+
 def crop_square_resize_white(image, rect, out_size: int = 224):
     """image: (H, W, 3) float; rect: (4,) int32 [xmin, ymin, xmax, ymax].
     Returns (out_size, out_size, 3): the rect cropped, white-padded to square
-    (centered), resized -- computed as one bilinear gather."""
+    (centered), resized.
+
+    TPU note: bilinear sampling is SEPARABLE, so instead of four 2-D gathers
+    per output pixel (XLA general gather -- the round-1 stage-1 bottleneck at
+    ~500 ms/step for 256 crops) the crop is two small interpolation matmuls
+    out = Ky @ image @ Kx^T that run on the MXU; identical math (hat-kernel
+    two-tap rows == the (1-wy)(1-wx) corner weights)."""
     h_img, w_img = image.shape[0], image.shape[1]
     xmin, ymin, xmax, ymax = rect[0], rect[1], rect[2], rect[3]
     w = (ymax - ymin).astype(jnp.float32)  # vertical extent (reference naming)
@@ -48,37 +62,17 @@ def crop_square_resize_white(image, rect, out_size: int = 224):
     x_begin = jnp.floor((max_edge - h) / 2)
 
     grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * max_edge / out_size - 0.5
-    sy = grid[:, None] - y_begin + ymin.astype(jnp.float32)  # image y coords
-    sx = grid[None, :] - x_begin + xmin.astype(jnp.float32)  # image x coords
-    sy = jnp.broadcast_to(sy, (out_size, out_size))
-    sx = jnp.broadcast_to(sx, (out_size, out_size))
+    sy = grid - y_begin + ymin.astype(jnp.float32)  # (out,) image y coords
+    sx = grid - x_begin + xmin.astype(jnp.float32)  # (out,) image x coords
 
-    inside = (
-        (sy >= ymin) & (sy <= ymax.astype(jnp.float32) - 1)
-        & (sx >= xmin) & (sx <= xmax.astype(jnp.float32) - 1)
-    )
+    row_in = (sy >= ymin) & (sy <= ymax.astype(jnp.float32) - 1)
+    col_in = (sx >= xmin) & (sx <= xmax.astype(jnp.float32) - 1)
+    inside = row_in[:, None] & col_in[None, :]
 
-    y0 = jnp.clip(jnp.floor(sy), 0, h_img - 1)
-    x0 = jnp.clip(jnp.floor(sx), 0, w_img - 1)
-    y1 = jnp.clip(y0 + 1, 0, h_img - 1)
-    x1 = jnp.clip(x0 + 1, 0, w_img - 1)
-    wy = sy - y0
-    wx = sx - x0
-    y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
-
-    def gather(yy, xx):
-        return image[yy, xx]
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
-    val = (
-        v00 * ((1 - wy) * (1 - wx))[..., None]
-        + v01 * ((1 - wy) * wx)[..., None]
-        + v10 * (wy * (1 - wx))[..., None]
-        + v11 * (wy * wx)[..., None]
-    )
+    ky = _interp_matrix(sy, h_img)  # (out, H)
+    kx = _interp_matrix(sx, w_img)  # (out, W)
+    tmp = jnp.einsum("oh,hwc->owc", ky, image)
+    val = jnp.einsum("pw,owc->opc", kx, tmp)
     return jnp.where(inside[..., None], val, 255.0)
 
 

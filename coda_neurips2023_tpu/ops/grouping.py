@@ -59,6 +59,18 @@ def ball_query(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
+        import os
+
+        if os.environ.get("CODA_BQ_MXU") == "1" and nsample % 8 == 0:
+            # experimental MXU-factorized variant: correct but measured
+            # SLOWER on v5e (275 vs 160 ms; Mosaic relayout overhead on the
+            # per-chunk transpose/concats) -- kept selectable for newer
+            # chips/toolchains.  See ops/pallas_ball_query_mxu.py.
+            from coda_neurips2023_tpu.ops.pallas_ball_query_mxu import (
+                ball_query_pallas_mxu,
+            )
+
+            return ball_query_pallas_mxu(radius, nsample, xyz, new_xyz)
         from coda_neurips2023_tpu.ops.pallas_ball_query import ball_query_pallas
 
         return ball_query_pallas(radius, nsample, xyz, new_xyz)

@@ -97,12 +97,14 @@ def _bq_mxu_kernel(r2: float, nsample: int, n_real: int,
             ind_rows, jnp.concatenate([b_val] * nslot_side, axis=0), jnp.bfloat16(0)
         )
 
-        # RHS cols c = l*tm + m' : (NC, TM*8) built from the transposed lo
-        loT = jnp.swapaxes(lo, 0, 1)  # (NC, TM)
-        validT = jnp.swapaxes(valid, 0, 1)
+        # RHS cols c = l*tm + m' : (NC, TM*8) built from the transposed lo.
+        # No valid mask needed here: invalid candidates have sentinel hi and
+        # contribute a zero LHS row, so their products vanish.  (Mosaic cannot
+        # transpose i1 vectors, so only the int32 lo is transposed.)
+        loT = jnp.swapaxes(lo, 0, 1)  # (NC, TM) int32
         cols = jnp.concatenate(
-            [jnp.logical_and(loT == l, validT) for l in range(nslot_side)], axis=1
-        ).astype(jnp.bfloat16)  # (NC, 64)
+            [(loT == l).astype(jnp.bfloat16) for l in range(nslot_side)], axis=1
+        )  # (NC, 64)
 
         acc_a = acc_a + jax.lax.dot(
             a_rows, cols, preferred_element_type=jnp.float32

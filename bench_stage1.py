@@ -18,6 +18,9 @@ def main():
     cli.add_argument("--agreement", action="store_true")
     cli.add_argument("--decompose", action="store_true",
                      help="time phase A (targets) and phase B (train) separately")
+    cli.add_argument("--fused", action="store_true",
+                     help="ONE jit: targets computed inside the train step "
+                          "(round-1 compile blowup retry)")
     cli_args = cli.parse_args()
     import jax
 
@@ -81,7 +84,10 @@ def main():
     ctx = StageContext(args, eval_cfg)
     criterion = build_criterion(args, cfg)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    step = ctx.make_two_phase_train_step(model, criterion, tx, lr_schedule=schedule)
+    if cli_args.fused:
+        step = ctx.make_fused_train_step(model, criterion, tx, lr_schedule=schedule)
+    else:
+        step = ctx.make_two_phase_train_step(model, criterion, tx, lr_schedule=schedule)
 
     t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.PRNGKey(1))

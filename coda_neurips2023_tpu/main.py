@@ -61,6 +61,11 @@ def make_args_parser():
         "--compute_dtype", default="float32", choices=["float32", "bf16", "bfloat16"],
         help="matmul/attention compute dtype (params stay f32); ours, not a reference flag",
     )
+    parser.add_argument(
+        "--if_two_phase_stage_step", default=False, action="store_true",
+        help="split stage training into a targets jit + train jit instead of "
+             "the fused single jit (fallback; ours, not a reference flag)",
+    )
 
     # accepted-for-compat knobs of unwired reference variants
     parser.add_argument("--cross_enc_dim", default=256, type=int)
@@ -363,11 +368,20 @@ def do_train(args, ctx):
         and args.online_nms_update_save_novel_label_clip_driven_with_cate_confidence
     )
     if stage_ctx is not None and stage_ctx.needs_distillation():
-        # two jits: CLIP targets phase + train phase (see stages.py)
-        train_step = stage_ctx.make_two_phase_train_step(
-            model, criterion, tx, return_last_outputs=run_discovery,
-            lr_schedule=ctx["schedule"],
-        )
+        if getattr(args, "if_two_phase_stage_step", False):
+            # two jits: CLIP targets phase + train phase (see stages.py) --
+            # fallback for compile services that reject the fused graph
+            train_step = stage_ctx.make_two_phase_train_step(
+                model, criterion, tx, return_last_outputs=run_discovery,
+                lr_schedule=ctx["schedule"],
+            )
+        else:
+            # ONE jit (like the reference forward): 444 vs 513 ms/step
+            # measured on v5e (BASELINE.md round-2 table)
+            train_step = stage_ctx.make_fused_train_step(
+                model, criterion, tx, return_last_outputs=run_discovery,
+                lr_schedule=ctx["schedule"],
+            )
     else:
         train_step = make_train_step(
             model, criterion, tx, return_last_outputs=run_discovery,

@@ -145,9 +145,25 @@ class StageContext:
         train_range_max = args.train_range_max
         select_by_obj = getattr(args, "if_select_box_by_objectness", False)
 
+        clip_model = self.clip_model
+
         def fn(outputs, batch, rng):
             if "input_image" not in batch:
                 return {}
+            # fused single-jit path: CLIP weights/text bank arrive as traced
+            # batch entries (closure-captured weights get baked into the HLO
+            # as literals and overflow the compile service, HTTP 413)
+            fn_clip = clip_fn
+            fn_text = text
+            if "_clip_vars" in batch:
+                cv = batch["_clip_vars"]
+
+                def fn_clip(images):
+                    return jax.lax.stop_gradient(
+                        clip_model.apply(cv, images, method=clip_model.encode_image)
+                    )
+
+                fn_text = batch.get("_text_bank", text)
             last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
             keep_enabled = False
             if if_keep_box:
@@ -163,8 +179,8 @@ class StageContext:
                 jax.random.fold_in(rng, 7),
                 last,
                 batch,
-                clip_fn,
-                text_features=text,
+                fn_clip,
+                text_features=fn_text,
                 logit_scale=scale,
                 distillation_box_num=n_boxes,
                 if_clip_weak_labels=weak,
@@ -179,11 +195,45 @@ class StageContext:
                     if select_by_obj else False
                 ),
             )
-            targets["text_features_clip"] = text
+            targets["text_features_clip"] = fn_text
             targets["logit_scale"] = scale
             return targets
 
         return fn
+
+    def make_fused_train_step(self, model, criterion, tx, return_last_outputs=False,
+                              lr_schedule=None):
+        """ONE jit: distillation targets computed inside the train step from
+        the train-mode forward (exactly the reference forward's structure,
+        model_3detr.py:902-1210).  CLIP weights and the text bank are fed as
+        traced inputs through reserved batch keys so the HLO stays small;
+        criterion_consts are NOT closed over either (the superset bank can be
+        1201x512)."""
+        from coda_neurips2023_tpu.engine import make_train_step
+
+        train_step = make_train_step(
+            model,
+            criterion,
+            tx,
+            extra_targets_fn=self.extra_targets_fn(),
+            return_last_outputs=return_last_outputs,
+            criterion_consts=None,  # text bank arrives via _text_bank
+            lr_schedule=lr_schedule,
+        )
+        clip_vars_device = jax.device_put(self.clip_variables)
+        text_device = jax.device_put(self.train_text_features)
+        scale = jnp.float32(self.logit_scale)
+
+        def step(state, batch, rng):
+            if "input_image" in batch:
+                batch = {
+                    **batch,
+                    "_clip_vars": clip_vars_device,
+                    "_text_bank": text_device,
+                }
+            return train_step(state, batch, rng)
+
+        return step
 
     def make_clip_eval_step(self, model, bank: str = "test"):
         """Baseline-head eval step (--if_with_clip): crop every predicted box

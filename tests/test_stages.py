@@ -243,3 +243,21 @@ def test_two_phase_matches_single_jit_train_step(stage1_setup):
         float(m_split["loss_predicted_region_embed_l1"]),
         rtol=1e-5,
     )
+
+
+def test_fused_train_step_matches_two_phase(stage1_setup):
+    """make_fused_train_step (CLIP weights as traced batch inputs) must equal
+    the two-phase split exactly."""
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args()
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    criterion = build_criterion(_crit_args(args), cfg)
+    tx, schedule = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+
+    fused = ctx.make_fused_train_step(model, criterion, tx, lr_schedule=schedule)
+    split = ctx.make_two_phase_train_step(model, criterion, tx, lr_schedule=schedule)
+    _, m_fused = fused(state, batch, rng)
+    _, m_split = split(state, batch, rng)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_split["loss"]), rtol=1e-5)

@@ -466,6 +466,7 @@ def do_train(args, ctx):
             test_loader = make_loader(
                 datasets["test"], args.batchsize_per_gpu_test, shuffle=False,
                 drop_last=False, pad_last=True,
+                num_workers=max(args.dataset_num_workers_test, 1),
             )
             ap = evaluate(
                 eval_step, state, test_loader, ctx["dataset_config"], mesh=mesh,
@@ -492,6 +493,7 @@ def do_train(args, ctx):
             test_loader = make_loader(
                 datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
                 drop_last=False, pad_last=True,
+                num_workers=max(args.dataset_num_workers_test, 1),
             )
             ap = evaluate(
                 eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,
@@ -518,6 +520,7 @@ def do_train(args, ctx):
             cmp_loader = make_loader(
                 datasets["real_cmp_test"], args.batchsize_per_gpu_test, shuffle=False,
                 drop_last=False, pad_last=True,
+                num_workers=max(args.dataset_num_workers_test, 1),
             )
             ap = evaluate(
                 cmp_eval_step, state, cmp_loader, ctx["real_cmp_config"], mesh=mesh,
@@ -547,6 +550,7 @@ def do_train(args, ctx):
         test_loader = make_loader(
             datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
             drop_last=False, pad_last=True,
+            num_workers=max(args.dataset_num_workers_test, 1),
         )
         ap = evaluate(
             eval_step, state, test_loader, ctx["real_test_config"], mesh=mesh,

@@ -10,10 +10,12 @@ Two worker backends:
     small batches and tests;
   * processes (use_processes=True, the CLI train path): real parallel sample
     assembly like the reference's 4-worker-per-GPU DataLoader
-    (main.py:1027-1033).  Each BATCH is built under a deterministic
-    task seed (dataset.rng reseeded per task), so augmentations are
-    reproducible regardless of worker scheduling -- stronger than the
-    reference's per-worker np.random seeding (my_worker_init_fn).
+    (main.py:1027-1033).
+
+Every backend builds each BATCH under a deterministic task seed against a
+shallow dataset copy carrying its own rng, so augmentations are reproducible
+regardless of worker scheduling or backend -- stronger than the reference's
+per-worker np.random seeding (my_worker_init_fn).
 
 `prefetch` bounds how many batches are in flight (reference: 2x workers).
 """
@@ -21,6 +23,7 @@ Two worker backends:
 from __future__ import annotations
 
 import concurrent.futures as cf
+import copy
 import multiprocessing as mp
 from typing import Iterator, Optional
 
@@ -52,6 +55,9 @@ def _proc_init(dataset):
 
 def _build_batch(dataset, idxs, batch_size, pad_last, task_seed):
     if task_seed is not None and hasattr(dataset, "rng"):
+        # per-task generator on a SHALLOW COPY: thread workers share the
+        # dataset object, so mutating dataset.rng in place would race
+        dataset = copy.copy(dataset)
         dataset.rng = np.random.default_rng(task_seed)
     samples = [dataset[i] for i in idxs]
     n_valid = len(samples)
@@ -145,10 +151,20 @@ class Loader:
             (idxs, self.batch_size, self.pad_last, task_seed)
             for idxs, task_seed in tasks
         ]
+        from collections import deque
+
         with ctx.Pool(self.num_workers, initializer=_proc_init,
                       initargs=(self.dataset,)) as pool:
-            # imap keeps batch order; chunksize 1 keeps the pipeline deep
-            yield from pool.imap(_proc_build_batch, args, chunksize=1)
+            # bounded pipeline: at most `prefetch` batches in flight so a
+            # slow consumer (e.g. the first train-step compile) cannot pile
+            # up finished batches in host RAM (Pool.imap has no backpressure)
+            pending = deque()
+            for a_ in args:
+                pending.append(pool.apply_async(_proc_build_batch, (a_,)))
+                while len(pending) >= self.prefetch:
+                    yield pending.popleft().get()
+            while pending:
+                yield pending.popleft().get()
 
 
 def make_loader(dataset, batch_size, shuffle=False, seed=0, drop_last=True,

@@ -419,13 +419,11 @@ def _scalar_angle2class(angle: float, num_class: int):
 
 
 def _my_compute_box_3d_np(center, size, heading_angle):
-    c, s = np.cos(-heading_angle), np.sin(-heading_angle)
-    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-    l, w, h = size
-    x = np.array([-l, l, l, -l, -l, l, l, -l])
-    y = np.array([w, w, -w, -w, w, w, -w, -w])
-    z = np.array([h, h, h, h, -h, -h, -h, -h])
-    return (rot @ np.vstack([x, y, z])).T + center
+    from coda_neurips2023_tpu.ops import box_ops
+
+    return box_ops.my_compute_box_3d_np(
+        np.asarray(center), np.asarray(size), np.float32(heading_angle)
+    )
 
 
 def _corners_np_camera(centers, sizes, angles):

@@ -294,10 +294,12 @@ def build_everything(args):
     datasets, dataset_config, real_test_config, real_cmp_config = build_dataset(args)
     model, box_processor = build_model(args, dataset_config)
     criterion = build_criterion(args, dataset_config)
-    n_train = max(len(datasets["train"]), 1)
-    iters_per_epoch = max(n_train // (args.batchsize_per_gpu * max(args.ngpus, 1)), 1)
-    tx, schedule = build_optimizer(args, None, iters_per_epoch)
     mesh = make_mesh(min(args.ngpus, len(jax.devices())))
+    # iters/epoch from the ACTUAL mesh size (ngpus may exceed the available
+    # chips), so the per-iteration LR schedule matches len(train_loader)
+    n_train = max(len(datasets["train"]), 1)
+    iters_per_epoch = max(n_train // (args.batchsize_per_gpu * mesh.devices.size), 1)
+    tx, schedule = build_optimizer(args, None, iters_per_epoch)
     stage_ctx = None
     if args.model_name == "3detr_predictedbox_distillation" or args.if_with_clip:
         from coda_neurips2023_tpu.stages import StageContext
@@ -596,6 +598,8 @@ def test_model(args, ctx):
     loader = make_loader(datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
                          drop_last=False, pad_last=True)
     sample = next(iter(loader))
+    # string-valued fields stay host-side (like do_train/run_mode)
+    sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), sample)
     if args.test_ckpt:
         state = restore_params_only(args.test_ckpt, state, model_args=args)

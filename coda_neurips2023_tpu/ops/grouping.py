@@ -61,7 +61,9 @@ def ball_query(
     if use_pallas:
         import os
 
-        if os.environ.get("CODA_BQ_MXU") == "1" and nsample % 8 == 0:
+        if os.environ.get("CODA_BQ_MXU") == "1" and nsample == 64:
+            # the hi/lo factorization needs nsample == _TM*_TM == 64
+            # (cols enumerate lo < _TM; other sizes would drop slots)
             # experimental MXU-factorized variant: correct but measured
             # SLOWER on v5e (275 vs 160 ms; Mosaic relayout overhead on the
             # per-chunk transpose/concats) -- kept selectable for newer

@@ -143,7 +143,7 @@ def _bq_mxu_kernel(r2: float, nsample: int, n_real: int,
 def ball_query_pallas_mxu(radius: float, nsample: int, xyz: jax.Array,
                           new_xyz: jax.Array) -> jax.Array:
     """xyz: (B, N, 3), new_xyz: (B, M, 3) -> (B, M, nsample) int32."""
-    assert nsample % _TM == 0, "nsample must be a multiple of 8"
+    assert nsample == _TM * _TM, "hi/lo factorization requires nsample == 64"
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     n_pad = _round_up(n, _NC)

@@ -127,24 +127,49 @@ class StageContext:
             or a.loss_contrast_object_text > 1e-32
         )
 
+    def _distillation_call(self, last, batch, rng, clip_fn, text_bank):
+        """One shared call site for the distillation-target builder: all the
+        epoch gates (keep-box on the MONOTONE all_epoch, reference
+        main.py:355-358; objectness selection on the reset curr_epoch >= 540,
+        model_3detr.py:990) and flag plumbing live here so the fused and
+        two-phase step builders cannot diverge."""
+        args = self.args
+        if_keep_box = getattr(args, "if_keep_box", False)
+        select_by_obj = getattr(args, "if_select_box_by_objectness", False)
+        keep_enabled = False
+        if if_keep_box:
+            keep_enabled = batch.get(
+                "all_epoch", batch.get("curr_epoch", jnp.int32(0))
+            ) >= getattr(args, "begin_keep_epoch", 540)
+        return build_clip_distillation_targets(
+            jax.random.fold_in(rng, 7),
+            last,
+            batch,
+            clip_fn,
+            text_features=text_bank,
+            logit_scale=jnp.float32(self.logit_scale),
+            distillation_box_num=args.distillation_box_num,
+            if_clip_weak_labels=args.if_clip_weak_labels,
+            crop_size=self.crop_size,
+            if_keep_box=if_keep_box,
+            keep_objectness=getattr(args, "keep_objectness", 0.5),
+            train_range_max=args.train_range_max,
+            keep_enabled=keep_enabled,
+            if_select_box_by_objectness=select_by_obj,
+            objectness_select_enabled=(
+                batch.get("curr_epoch", jnp.int32(0)) >= 540
+                if select_by_obj else False
+            ),
+        )
+
     def extra_targets_fn(self):
         """(outputs, batch, rng) -> criterion targets, run INSIDE the jitted
         train step (like the reference forward)."""
         if not self.needs_distillation():
             return None
-        args = self.args
         text = self.train_text_features
         scale = jnp.float32(self.logit_scale)
         clip_fn = self.clip_image_fn
-        n_boxes = args.distillation_box_num
-        weak = args.if_clip_weak_labels
-
-        if_keep_box = getattr(args, "if_keep_box", False)
-        keep_objectness = getattr(args, "keep_objectness", 0.5)
-        begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
-        train_range_max = args.train_range_max
-        select_by_obj = getattr(args, "if_select_box_by_objectness", False)
-
         clip_model = self.clip_model
 
         def fn(outputs, batch, rng):
@@ -165,36 +190,7 @@ class StageContext:
 
                 fn_text = batch.get("_text_bank", text)
             last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
-            keep_enabled = False
-            if if_keep_box:
-                # epoch gating traced through batch["curr_epoch"]
-                # (reference: curr_epoch >= 540, model_3detr.py:1108)
-                # monotone epoch (NOT the stage-2 reset epoch): the reference
-                # arms if_keep_box at all_epoch == begin_keep_epoch
-                # (main.py:355-358) and it stays on
-                keep_enabled = batch.get(
-                    "all_epoch", batch.get("curr_epoch", jnp.int32(0))
-                ) >= begin_keep_epoch
-            targets = build_clip_distillation_targets(
-                jax.random.fold_in(rng, 7),
-                last,
-                batch,
-                fn_clip,
-                text_features=fn_text,
-                logit_scale=scale,
-                distillation_box_num=n_boxes,
-                if_clip_weak_labels=weak,
-                crop_size=self.crop_size,
-                if_keep_box=if_keep_box,
-                keep_objectness=keep_objectness,
-                train_range_max=train_range_max,
-                keep_enabled=keep_enabled,
-                if_select_box_by_objectness=select_by_obj,
-                objectness_select_enabled=(
-                    batch.get("curr_epoch", jnp.int32(0)) >= 540
-                    if select_by_obj else False
-                ),
-            )
+            targets = self._distillation_call(last, batch, rng, fn_clip, fn_text)
             targets["text_features_clip"] = fn_text
             targets["logit_scale"] = scale
             return targets
@@ -327,18 +323,7 @@ class StageContext:
         (model_3detr.py:902-1210); the rng fold also redraws the per-sample
         distillation crop selection every step (reference np.random.choice per
         forward, model_3detr.py:997)."""
-        args = self.args
         text = self.train_text_features
-        scale = jnp.float32(self.logit_scale)
-        clip_fn = self.clip_image_fn
-        n_boxes = args.distillation_box_num
-        weak = args.if_clip_weak_labels
-        crop = self.crop_size
-        if_keep_box = getattr(args, "if_keep_box", False)
-        keep_objectness = getattr(args, "keep_objectness", 0.5)
-        begin_keep_epoch = getattr(args, "begin_keep_epoch", 540)
-        select_by_obj = getattr(args, "if_select_box_by_objectness", False)
-
         clip_model = self.clip_model
 
         # CLIP weights and the text bank are traced ARGUMENTS, not closures:
@@ -363,40 +348,13 @@ class StageContext:
                 mutable=["batch_stats"],  # discarded; phase B applies the update
             )
             last = {k: v[-1] for k, v in outputs.items() if hasattr(v, "ndim")}
-            keep_enabled = False
-            if if_keep_box:
-                # monotone epoch (NOT the stage-2 reset epoch): the reference
-                # arms if_keep_box at all_epoch == begin_keep_epoch
-                # (main.py:355-358) and it stays on
-                keep_enabled = batch.get(
-                    "all_epoch", batch.get("curr_epoch", jnp.int32(0))
-                ) >= begin_keep_epoch
 
             def clip_arg_fn(images):
                 return jax.lax.stop_gradient(
                     clip_model.apply(clip_vars, images, method=clip_model.encode_image)
                 )
 
-            return build_clip_distillation_targets(
-                jax.random.fold_in(rng, 7),
-                last,
-                batch,
-                clip_arg_fn,
-                text_features=text_bank,
-                logit_scale=scale,
-                distillation_box_num=n_boxes,
-                if_clip_weak_labels=weak,
-                crop_size=crop,
-                if_keep_box=if_keep_box,
-                keep_objectness=keep_objectness,
-                train_range_max=args.train_range_max,
-                keep_enabled=keep_enabled,
-                if_select_box_by_objectness=select_by_obj,
-                objectness_select_enabled=(
-                    batch.get("curr_epoch", jnp.int32(0)) >= 540
-                    if select_by_obj else False
-                ),
-            )
+            return self._distillation_call(last, batch, rng, clip_arg_fn, text_bank)
 
         clip_vars_device = jax.device_put(self.clip_variables)
         text_device = jax.device_put(text)

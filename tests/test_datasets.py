@@ -214,14 +214,16 @@ def test_process_loader_matches_serial():
     procs = list(
         make_loader(ds, 4, shuffle=True, seed=3, num_workers=3, use_processes=True)
     )
-    assert len(serial) == len(procs) == 2
-    for a, b in zip(serial, procs):
-        assert set(a) == set(b)
-        for k in a:
-            if isinstance(a[k], list):
-                assert a[k] == b[k]
-            else:
-                np.testing.assert_array_equal(a[k], b[k])
+    threads = list(make_loader(ds, 4, shuffle=True, seed=3, num_workers=3))
+    assert len(serial) == len(procs) == len(threads) == 2
+    for variant in (procs, threads):
+        for a, b in zip(serial, variant):
+            assert set(a) == set(b)
+            for k in a:
+                if isinstance(a[k], list):
+                    assert a[k] == b[k]
+                else:
+                    np.testing.assert_array_equal(a[k], b[k])
 
 
 def test_scannet_raw_id_pipeline(tmp_path):

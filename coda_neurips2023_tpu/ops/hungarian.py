@@ -7,10 +7,18 @@ Here the shortest-augmenting-path algorithm (the same family scipy uses) runs
 under jit with static shapes, vmapped over the batch: rows = GT boxes (padded
 to max_num_obj), columns = proposals.
 
-Padding trick: rows beyond the actual GT count are given constant cost 0;
-constant rows shift every feasible assignment's total by the same amount, so
-the optimum restricted to real rows is unchanged, and padded rows soak up
-arbitrary leftover columns (masked out by the caller).
+TPU performance structure (this is the hottest sequential op in the train
+step -- it runs for the final + 7 aux decoder layers, 64 problems of 64x128
+per step at bs 8):
+  * column-reduction greedy initialization (classic LAPJV phase 1,
+    parallelized: every row claims its argmin column, lowest row index wins)
+    assigns most rows with zero sequential work;
+  * padded GT rows (i >= nlive) are skipped outright -- removing a row never
+    changes the optimum over the remaining rows, and the caller masks the
+    padded rows' outputs anyway;
+  * the per-row Dijkstra loop body is scatter-free: the dual update tracks an
+    incremental dense `used_rows` mask instead of a scatter-add over matched
+    rows (TPU scatters serialize; dense selects ride the VPU).
 
 Produces an optimal assignment (same total cost as scipy); tie-broken
 assignments may differ.
@@ -26,51 +34,71 @@ import jax.numpy as jnp
 _INF = jnp.float32(1e18)
 
 
-def _lsa_single(cost: jnp.ndarray) -> jnp.ndarray:
-    """cost: (R, C) float32 with R <= C. Returns col4row: (R,) int32 columns."""
+def _lsa_single(cost: jnp.ndarray, nlive: jnp.ndarray) -> jnp.ndarray:
+    """cost: (R, C) float32 with R <= C; nlive: scalar int, rows >= nlive are
+    ignored. Returns col4row: (R,) int32 columns (garbage for dead rows)."""
     r_dim, c_dim = cost.shape
     assert r_dim <= c_dim, "need rows <= cols; transpose the cost matrix"
 
-    u0 = jnp.zeros((r_dim,), jnp.float32)
-    v0 = jnp.zeros((c_dim + 1,), jnp.float32)
-    p0 = jnp.full((c_dim + 1,), -1, jnp.int32)  # row matched to each column
+    row_ids = jnp.arange(r_dim, dtype=jnp.int32)
+    col_ids = jnp.arange(c_dim, dtype=jnp.int32)
+    live = row_ids < nlive
 
+    # --- phase 1: column reduction (parallel greedy). Every live row claims
+    # its argmin column; the lowest-index claimant wins. Duals stay feasible:
+    # u[i] = row minimum, v = 0 => reduced costs >= 0, winners sit at 0.
+    u0 = jnp.where(live, jnp.min(cost, axis=1), 0.0).astype(jnp.float32)
+    amin = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (R,)
+    claim = (amin[:, None] == col_ids[None, :]) & live[:, None]  # (R, C)
+    col_any = jnp.any(claim, axis=0)
+    col_winner = jnp.argmax(claim, axis=0).astype(jnp.int32)  # first claimant
+    p0 = jnp.full((c_dim + 1,), -1, jnp.int32)  # row matched to each column
+    p0 = p0.at[:c_dim].set(jnp.where(col_any, col_winner, -1))
+    won = live & (jnp.take(col_winner, amin) == row_ids) & jnp.take(col_any, amin)
+
+    v0 = jnp.zeros((c_dim + 1,), jnp.float32)
+
+    # --- phase 2: shortest augmenting path for each remaining live row
     def assign_row(i, state):
         u, v, p = state
-        p = p.at[c_dim].set(i)
+        skip = jnp.take(won, i) | (i >= nlive)
+        p = p.at[c_dim].set(jnp.where(skip, p[c_dim], i))
         init = (
             u,
             v,
             p,
             jnp.full((c_dim,), _INF),  # minv
             jnp.full((c_dim,), c_dim, jnp.int32),  # way (parent column)
-            jnp.zeros((c_dim + 1,), bool),  # used
+            jnp.zeros((c_dim + 1,), bool),  # used columns
+            jnp.zeros((r_dim,), bool),  # used rows (dense dual update)
             jnp.int32(c_dim),  # j0 (virtual column)
-            jnp.bool_(False),  # done
+            skip,  # done
         )
 
         def cond(s):
             return ~s[-1]
 
         def body(s):
-            u, v, p, minv, way, used, j0, _ = s
+            u, v, p, minv, way, used, used_rows, j0, _ = s
             used = used.at[j0].set(True)
             i0 = p[j0]
-            cur = cost[i0] - u[i0] - v[:c_dim]
+            used_rows = used_rows | (row_ids == i0)
+            cur = jnp.take(cost, i0, axis=0) - jnp.take(u, i0) - v[:c_dim]
             upd = jnp.logical_and(~used[:c_dim], cur < minv)
             minv = jnp.where(upd, cur, minv)
             way = jnp.where(upd, j0, way)
             masked = jnp.where(used[:c_dim], _INF, minv)
             j1 = jnp.argmin(masked).astype(jnp.int32)
             delta = masked[j1]
-            rows = jnp.where(used, p, r_dim)  # r_dim = out-of-bounds => dropped
-            u = u.at[rows].add(delta, mode="drop")
+            u = u + jnp.where(used_rows, delta, 0.0)
             v = v - jnp.where(used, delta, 0.0)
             minv = jnp.where(used[:c_dim], minv, minv - delta)
             done = p[j1] == -1
-            return (u, v, p, minv, way, used, j1, done)
+            return (u, v, p, minv, way, used, used_rows, j1, done)
 
-        u, v, p, minv, way, used, j0, _ = jax.lax.while_loop(cond, body, init)
+        u, v, p, minv, way, used, used_rows, j0, _ = jax.lax.while_loop(
+            cond, body, init
+        )
 
         # augment: walk parents back to the virtual column
         def aug_cond(s):
@@ -82,26 +110,32 @@ def _lsa_single(cost: jnp.ndarray) -> jnp.ndarray:
             p = p.at[j0].set(p[j1])
             return (p, j1)
 
-        p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
+        p, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (p, jnp.where(skip, jnp.int32(c_dim), j0))
+        )
         return (u, v, p)
 
     _, _, p = jax.lax.fori_loop(0, r_dim, assign_row, (u0, v0, p0))
     row4col = p[:c_dim]
     col4row = jnp.zeros((r_dim,), jnp.int32)
-    cols = jnp.arange(c_dim, dtype=jnp.int32)
     safe_rows = jnp.where(row4col >= 0, row4col, r_dim)
-    col4row = col4row.at[safe_rows].set(cols, mode="drop")
+    col4row = col4row.at[safe_rows].set(col_ids, mode="drop")
     return col4row
 
 
 @jax.jit
-def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
+def hungarian_match(cost: jnp.ndarray, nlive: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched assignment. cost: (B, R, C) with R <= C -> col4row (B, R) int32.
 
     Row i of each sample is assigned column col4row[b, i]; all assigned
-    columns are distinct; the total cost over rows is minimal.
+    columns are distinct; the total cost over rows is minimal.  With `nlive`
+    (B,), rows >= nlive[b] are excluded from the problem (their output is
+    arbitrary) -- removing rows never changes the optimum over the rest.
     """
-    return jax.vmap(_lsa_single)(cost.astype(jnp.float32))
+    cost = cost.astype(jnp.float32)
+    if nlive is None:
+        nlive = jnp.full((cost.shape[0],), cost.shape[1], jnp.int32)
+    return jax.vmap(_lsa_single)(cost, nlive.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -119,14 +153,12 @@ def matcher_assignments(cost_prop_gt: jnp.ndarray, nactual_gt: jnp.ndarray):
     """
     b, nprop, ngt = cost_prop_gt.shape
     if ngt <= nprop:
-        # common case (64 GT x 128 proposals): rows = GT.  Rows beyond nactual
-        # get constant cost 0: constant rows shift every feasible assignment's
-        # total equally, so the optimum over real rows is unchanged, and the
-        # sequential augmenting-path loop runs ngt (not nprop) times.
+        # common case (64 GT x 128 proposals): rows = GT; padded GT rows are
+        # excluded from the assignment via nlive (the augmenting-path loop
+        # does no work for them and the caller masks their outputs).
         cost_gt_prop = jnp.swapaxes(cost_prop_gt, 1, 2).astype(jnp.float32)
         gt_live = jnp.arange(ngt)[None, :] < nactual_gt[:, None]  # (B, ngt)
-        cost_gt_prop = jnp.where(gt_live[..., None], cost_gt_prop, 0.0)
-        col4row = hungarian_match(cost_gt_prop)  # (B, ngt) proposal per GT
+        col4row = hungarian_match(cost_gt_prop, nactual_gt)  # (B, ngt)
 
         per_prop = jnp.zeros((b, nprop), jnp.int32)
         matched = jnp.zeros((b, nprop), jnp.float32)

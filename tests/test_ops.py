@@ -234,6 +234,24 @@ class TestHungarian:
             assert len(set(col4row.tolist())) == r  # distinct columns
             assert got_total == pytest.approx(want_total, rel=1e-4, abs=1e-4)
 
+    def test_nlive_row_exclusion_matches_scipy(self):
+        """Rows >= nlive are excluded from the problem (the fast path the
+        matcher uses for padded GT): optimum over live rows must equal scipy
+        on the live sub-matrix, with distinct columns."""
+        rng = np.random.default_rng(21)
+        for _ in range(25):
+            r, c = int(rng.integers(2, 64)), 128
+            nlive = int(rng.integers(1, r + 1))
+            cost = rng.standard_normal((1, r, c)).astype(np.float32) * 10
+            col4row = np.asarray(
+                hungarian_match(jnp.asarray(cost), jnp.asarray([nlive]))
+            )[0]
+            ri, ci = scipy.optimize.linear_sum_assignment(cost[0, :nlive])
+            got = cost[0][np.arange(nlive), col4row[:nlive]].sum()
+            want = cost[0][ri, ci].sum()
+            assert len(set(col4row[:nlive].tolist())) == nlive
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-4)
+
     def test_matcher_assignments_match_reference_semantics(self):
         rng = np.random.default_rng(14)
         b, nprop, ngt = 3, 16, 8

@@ -292,6 +292,18 @@ def build_everything(args):
     from coda_neurips2023_tpu.parallel.mesh import make_mesh
 
     datasets, dataset_config, real_test_config, real_cmp_config = build_dataset(args)
+    if args.model_name == "3detrmulticlasshead" and not args.if_with_clip:
+        # the baseline head emits (1 obj + 1 bg)-way sem probs; without the
+        # CLIP zero-shot path the closed-vocab real_test eval (46/60-class
+        # config) has no class scores to bucket.  Every reachable reference
+        # config passes --if_with_clip here (reference
+        # scripts/coda_baseline_sunrgbd.sh:35, test_release_models.sh) --
+        # fail at startup instead of deep inside parse_predictions.
+        raise SystemExit(
+            "3detrmulticlasshead requires --if_with_clip (CLIP zero-shot "
+            "classification) for the multi-class eval protocol; add "
+            "--if_with_clip --if_input_image"
+        )
     model, box_processor = build_model(args, dataset_config)
     criterion = build_criterion(args, dataset_config)
     mesh = make_mesh(min(args.ngpus, len(jax.devices())))

@@ -36,102 +36,111 @@ _EPS = 1e-8
 _VOL_EPS = 1e-6
 
 
-def _inside(cp1, cp2, p):
-    """Strictly-inside test for edge cp1->cp2 of a CCW polygon
-    (box_intersection.pyx:23-25)."""
-    return (cp2[..., 0] - cp1[..., 0]) * (p[..., 1] - cp1[..., 1]) > (
-        cp2[..., 1] - cp1[..., 1]
-    ) * (p[..., 0] - cp1[..., 0])
-
-
-def _intersection(cp1, cp2, s, e):
-    """Line-line intersection of edge (cp1, cp2) with segment (s, e)
-    (box_intersection.pyx:13-19, incl. the +1e-32 regularizer).
-
-    Exactly-parallel pairs (denominator 0) are never selected by the caller,
-    but 1/0 would poison gradients through the masking `where` (0 * inf);
-    the double-where keeps the real path's numerics bit-identical and gives
-    the degenerate path finite values and partials."""
-    dc = cp1 - cp2
-    dp = s - e
-    n1 = cp1[..., 0] * cp2[..., 1] - cp1[..., 1] * cp2[..., 0]
-    n2 = s[..., 0] * e[..., 1] - s[..., 1] * e[..., 0]
-    denom = dc[..., 0] * dp[..., 1] - dc[..., 1] * dp[..., 0]
-    safe_denom = jnp.where(denom == 0.0, 1.0, denom)
-    n3 = 1.0 / (safe_denom + 1e-32)
-    return jnp.stack(
-        [(n1 * dp[..., 0] - n2 * dc[..., 0]) * n3, (n1 * dp[..., 1] - n2 * dc[..., 1]) * n3],
-        axis=-1,
-    )
-
-
-def _prev_ring(verts: jnp.ndarray, count: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _prev_ring_pl(verts: jnp.ndarray, count: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """prev_pts[i] = verts[i-1] for i>0, verts[count-1] for i==0 (circular over
-    the live prefix).  Roll + one-hot select -- no gathers (TPU scatters and
-    row-gathers serialize badly)."""
-    rolled = jnp.roll(verts, 1, axis=-2)
-    last_sel = (idx == count[..., None] - 1).astype(verts.dtype)  # (..., V)
-    last = jnp.sum(verts * last_sel[..., None], axis=-2, keepdims=True)
-    return jnp.where((idx == 0)[..., None], last, rolled)
+    the live prefix).  verts: (V, 2, *B); count: (*B); idx: (V, 1...).
+    Roll + one-hot select -- no gathers (TPU scatters/row-gathers serialize)."""
+    rolled = jnp.roll(verts, 1, axis=0)
+    last_sel = (idx == count[None] - 1).astype(verts.dtype)  # (V, *B)
+    last = jnp.sum(verts * last_sel[:, None], axis=0)  # (2, *B)
+    return jnp.where((idx == 0)[:, None], last[None], rolled)
+
+
+def _clip_area_pairs_last(subject: jnp.ndarray, clip: jnp.ndarray) -> jnp.ndarray:
+    """Area of intersection of two convex CCW quads, batch-minor layout.
+
+    subject, clip: (4, 2, *B) -- the VERTEX and COORDINATE axes lead and the
+    (large) batch axes are minor, so every (V, *B) intermediate packs the TPU
+    vector lanes densely.  The natural (..., 10, 2) layout wastes 128/2 resp.
+    128/10 of every vreg on lane padding and measured ~5x slower for the
+    matcher's 524k-pair batches.  Returns (*B,) areas.
+
+    Vectorized Sutherland-Hodgman with fixed 10-vertex buffers + count masks
+    (MAX_INTERSECT_POINTS, box_intersection.pyx:125); emission compaction is
+    a one-hot contraction over the (out-slot, in-vertex) matrix -- no scatter.
+    """
+    bshape = subject.shape[2:]
+    v = _MAX_VERTS
+    dtype = subject.dtype
+    verts = jnp.concatenate(
+        [subject, jnp.zeros((v - 4, 2) + bshape, dtype)], axis=0
+    )  # (V, 2, *B)
+    count = jnp.full(bshape, 4, dtype=jnp.int32)
+    idx = jnp.arange(v, dtype=jnp.int32).reshape((v,) + (1,) * len(bshape))
+
+    def inside(cp1, cp2, px, py):
+        """Strictly-inside test for edge cp1->cp2 of a CCW polygon
+        (box_intersection.pyx:23-25).  cp*: (2, *B); px, py: (V, *B)."""
+        return (cp2[0] - cp1[0])[None] * (py - cp1[1][None]) > (
+            cp2[1] - cp1[1]
+        )[None] * (px - cp1[0][None])
+
+    for edge in range(4):
+        cp1 = clip[(edge - 1) % 4]  # (2, *B)
+        cp2 = clip[edge]
+        ex, ey = verts[:, 0], verts[:, 1]  # (V, *B)
+        s_pts = _prev_ring_pl(verts, count, idx)
+        sx, sy = s_pts[:, 0], s_pts[:, 1]
+
+        ins_e = inside(cp1, cp2, ex, ey)
+        ins_s = inside(cp1, cp2, sx, sy)
+        active = idx < count[None]
+        has_inter = jnp.logical_and(active, ins_e != ins_s)
+        keep_e = jnp.logical_and(active, ins_e)
+
+        # line-line intersection (box_intersection.pyx:13-19, incl. the
+        # +1e-32 regularizer).  Exactly-parallel pairs are never selected by
+        # has_inter, but 1/0 would poison gradients through the masking
+        # `where` (0 * inf): keep the real path bit-identical and give the
+        # degenerate path finite values and partials.
+        dcx, dcy = cp1[0] - cp2[0], cp1[1] - cp2[1]  # (*B)
+        dpx, dpy = sx - ex, sy - ey  # (V, *B)
+        n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0]  # (*B)
+        n2 = sx * ey - sy * ex  # (V, *B)
+        denom = dcx[None] * dpy - dcy[None] * dpx
+        safe_denom = jnp.where(denom == 0.0, 1.0, denom)
+        n3 = 1.0 / (safe_denom + 1e-32)
+        ix = jnp.nan_to_num(
+            (n1[None] * dpx - n2 * dcx[None]) * n3, nan=0.0, posinf=1e6, neginf=-1e6
+        )
+        iy = jnp.nan_to_num(
+            (n1[None] * dpy - n2 * dcy[None]) * n3, nan=0.0, posinf=1e6, neginf=-1e6
+        )
+
+        # per-vertex emissions: [intersection?][e?] in that order
+        firstx = jnp.where(has_inter, ix, ex)
+        firsty = jnp.where(has_inter, iy, ey)
+        n_emit = has_inter.astype(jnp.int32) + keep_e.astype(jnp.int32)  # (V, *B)
+        offset = jnp.cumsum(n_emit, axis=0) - n_emit  # exclusive prefix sum
+        pos1 = jnp.where(n_emit >= 1, offset, v)  # v == dropped
+        pos2 = jnp.where(n_emit == 2, offset + 1, v)
+
+        # compaction as one-hot contraction: out[s] = sum_i [pos(i)==s]*val_i
+        eq1 = (pos1[None] == idx[:, None]).astype(dtype)  # (S, I, *B)
+        eq2 = (pos2[None] == idx[:, None]).astype(dtype)
+        outx = jnp.sum(eq1 * firstx[None], axis=1) + jnp.sum(eq2 * ex[None], axis=1)
+        outy = jnp.sum(eq1 * firsty[None], axis=1) + jnp.sum(eq2 * ey[None], axis=1)
+        verts = jnp.stack([outx, outy], axis=1)  # (V, 2, *B)
+        count = jnp.sum(n_emit, axis=0)
+
+    # shoelace with circular previous vertex over the live count
+    prev_pts = _prev_ring_pl(verts, count, idx)
+    live = (idx < count[None]).astype(dtype)
+    contrib = (
+        verts[:, 0] * prev_pts[:, 1] - verts[:, 1] * prev_pts[:, 0]
+    ) * live
+    return 0.5 * jnp.abs(jnp.sum(contrib, axis=0))
 
 
 def clip_polygon_area(subject: jnp.ndarray, clip: jnp.ndarray) -> jnp.ndarray:
     """Area of intersection of two convex CCW quads.
 
-    subject, clip: (..., 4, 2). Returns (...,) areas. Vectorized
-    Sutherland-Hodgman with fixed (..., 10, 2) buffers + vertex-count masks.
-    The emission compaction is a one-hot contraction over the (10 out, 10 in)
-    position matrix instead of a scatter -- pure VPU work, ~40x faster on TPU
-    than the scatter formulation.
+    subject, clip: (..., 4, 2). Returns (...,) areas.  Thin wrapper moving the
+    vertex/coordinate axes to the front for the lane-dense kernel.
     """
-    batch_shape = subject.shape[:-2]
-    v = _MAX_VERTS
-    verts = jnp.concatenate(
-        [subject, jnp.zeros(batch_shape + (v - 4, 2), subject.dtype)], axis=-2
+    return _clip_area_pairs_last(
+        jnp.moveaxis(subject, (-2, -1), (0, 1)), jnp.moveaxis(clip, (-2, -1), (0, 1))
     )
-    count = jnp.full(batch_shape, 4, dtype=jnp.int32)
-    idx = jnp.arange(v, dtype=jnp.int32)
-
-    for edge in range(4):
-        cp1 = clip[..., (edge - 1) % 4, :]
-        cp2 = clip[..., edge, :]
-        e_pts = verts
-        s_pts = _prev_ring(verts, count, idx)
-
-        ins_e = _inside(cp1[..., None, :], cp2[..., None, :], e_pts)
-        ins_s = _inside(cp1[..., None, :], cp2[..., None, :], s_pts)
-        active = idx < count[..., None]
-        has_inter = jnp.logical_and(active, ins_e != ins_s)
-        keep_e = jnp.logical_and(active, ins_e)
-
-        inter = _intersection(cp1[..., None, :], cp2[..., None, :], s_pts, e_pts)
-        # degenerate (parallel) pairs are never selected by has_inter, but
-        # their inf/NaN values would still poison the one-hot contraction's
-        # gradients (0 * inf): replace them with finite constants (zero grad).
-        inter = jnp.nan_to_num(inter, nan=0.0, posinf=1e6, neginf=-1e6)
-        # per-vertex emissions: [intersection?][e?] in that order
-        first = jnp.where(has_inter[..., None], inter, e_pts)
-        n_emit = has_inter.astype(jnp.int32) + keep_e.astype(jnp.int32)
-        offset = jnp.cumsum(n_emit, axis=-1) - n_emit  # exclusive prefix sum
-
-        pos1 = jnp.where(n_emit >= 1, offset, v)  # v == dropped
-        pos2 = jnp.where(n_emit == 2, offset + 1, v)
-
-        # compaction as one-hot contraction: out[s] = sum_i [pos(i)==s] * val_i
-        eq1 = (pos1[..., None, :] == idx[:, None]).astype(verts.dtype)  # (..., S, I)
-        eq2 = (pos2[..., None, :] == idx[:, None]).astype(verts.dtype)
-        verts = jnp.einsum("...si,...id->...sd", eq1, first) + jnp.einsum(
-            "...si,...id->...sd", eq2, e_pts
-        )
-        count = jnp.sum(n_emit, axis=-1)
-
-    # shoelace with circular previous vertex over the live count
-    prev_pts = _prev_ring(verts, count, idx)
-    live = (idx < count[..., None]).astype(subject.dtype)
-    contrib = (
-        verts[..., 0] * prev_pts[..., 1] - verts[..., 1] * prev_pts[..., 0]
-    ) * live
-    return 0.5 * jnp.abs(jnp.sum(contrib, axis=-1))
 
 
 def box3d_vol(corners: jnp.ndarray) -> jnp.ndarray:
@@ -219,10 +228,13 @@ def generalized_box3d_iou(
     good_boxes = jnp.logical_and(enclosing_vols > 2 * _EPS, sum_vols > 4 * _EPS)
 
     if rotated_boxes:
-        sub = jnp.broadcast_to(rect1[:, :, None], (b, k1, k2, 4, 2))
-        clp = jnp.broadcast_to(rect2[:, None, :], (b, k1, k2, 4, 2))
-        areas = clip_polygon_area(sub.reshape(-1, 4, 2), clp.reshape(-1, 4, 2))
-        areas = areas.reshape(b, k1, k2)
+        # pairs-last layout: (4, 2, B, K1, K2) so the 524k-pair batch packs
+        # the vector lanes (see _clip_area_pairs_last)
+        r1 = jnp.transpose(rect1, (2, 3, 0, 1))  # (4, 2, B, K1)
+        r2 = jnp.transpose(rect2, (2, 3, 0, 1))  # (4, 2, B, K2)
+        sub = jnp.broadcast_to(r1[..., None], (4, 2, b, k1, k2))
+        clp = jnp.broadcast_to(r2[..., None, :], (4, 2, b, k1, k2))
+        areas = _clip_area_pairs_last(sub, clp)  # (B, K1, K2)
         # approximate gate of the Cython path: zero where the AA overlap is zero
         inter_areas = jnp.where(non_rot_inter > 0, areas, 0.0)
     else:

@@ -1,0 +1,238 @@
+"""Import machinery for running /root/reference's PYTHON code on this box.
+
+The reference tree needs CUDA pointnet2, torchvision, and timm; none exist
+here.  `install_stubs()` pre-seeds sys.modules with namespace packages
+pointing into /root/reference plus semantic-preserving stubs so individual
+reference modules (models.model_3detr, criterion, utils.ap_calculator, ...)
+import and RUN for live parity tests.  The CUDA _ext is replaced by CPU
+implementations restating the kernels' exact semantics (sampling_gpu.cu:71-168
+seed-0 FPS with the near-origin skip; ball_query_gpu.cu:12-48 first-hit-fill).
+
+Usage:
+    saved = install_stubs()
+    try:
+        mod = importlib.import_module("models.model_3detr")
+        ...
+    finally:
+        restore(saved)
+"""
+
+import contextlib
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REF, "models"))
+
+
+@contextlib.contextmanager
+def chdir(path):
+    prev = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(prev)
+
+
+# ---------------------------------------------------------------- _ext stubs
+def _fps_stub(xyz, npoint):
+    import torch
+
+    from tests.golden import fps_golden
+
+    inds = fps_golden(xyz.detach().cpu().numpy(), int(npoint))
+    return torch.from_numpy(inds.astype(np.int32))
+
+
+def _ball_query_stub(new_xyz, xyz, radius, nsample):
+    """ball_query_gpu.cu:12-48 vectorized: first nsample hits in index order,
+    trailing slots filled with the first hit, zeros when no hit."""
+    import torch
+
+    nx = new_xyz.detach().cpu().numpy()
+    x = xyz.detach().cpu().numpy()
+    d2 = ((nx[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)  # (B, M, N)
+    hit = d2 < radius * radius
+    # stable argsort of (not hit): hits first, each group in index order
+    order = np.argsort(~hit, axis=-1, kind="stable")[..., : int(nsample)]
+    cnt = hit.sum(-1)  # (B, M)
+    slot = np.arange(int(nsample))[None, None, :]
+    first = order[..., :1]
+    idx = np.where(slot < np.maximum(cnt[..., None], 1), order, first)
+    idx = np.where(cnt[..., None] == 0, 0, idx)
+    return torch.from_numpy(idx.astype(np.int32))
+
+
+def _gather_points_stub(features, idx):
+    import torch
+
+    f = features.detach().cpu().numpy()  # (B, C, N)
+    i = idx.detach().cpu().numpy().astype(np.int64)  # (B, M)
+    out = np.take_along_axis(f, i[:, None, :].repeat(f.shape[1], 1), axis=2)
+    return torch.from_numpy(out)
+
+
+def _group_points_stub(features, idx):
+    import torch
+
+    f = features.detach().cpu().numpy()  # (B, C, N)
+    i = idx.detach().cpu().numpy().astype(np.int64)  # (B, M, K)
+    b, c, _ = f.shape
+    m, k = i.shape[1], i.shape[2]
+    flat = i.reshape(b, 1, m * k).repeat(c, 1)
+    out = np.take_along_axis(f, flat, axis=2).reshape(b, c, m, k)
+    return torch.from_numpy(out)
+
+
+def _sigmoid_focal_loss_stub(inputs, targets, alpha=0.25, gamma=2, reduction="none"):
+    """torchvision.ops.sigmoid_focal_loss semantics (used by the reference's
+    loss_sem_cls / loss_image_seen_class)."""
+    import torch
+    import torch.nn.functional as F
+
+    p = torch.sigmoid(inputs)
+    ce = F.binary_cross_entropy_with_logits(inputs, targets, reduction="none")
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
+def install_stubs():
+    """Pre-seed sys.modules so /root/reference's modules import cleanly on a
+    CPU-only box without torchvision/timm/CUDA-_ext. Returns the saved module
+    table for restore()."""
+    saved = dict(sys.modules)
+
+    def ns_pkg(name, path):
+        m = types.ModuleType(name)
+        m.__path__ = [path]
+        sys.modules[name] = m
+
+    ns_pkg("models", os.path.join(REF, "models"))
+    ns_pkg("utils", os.path.join(REF, "utils"))
+    ns_pkg("datasets", os.path.join(REF, "datasets"))
+    ns_pkg("CLIP", os.path.join(REF, "CLIP"))
+    ns_pkg("third_party_pointnet2", os.path.join(REF, "third_party_pointnet2"))
+
+    # the CUDA extension: golden-semantics CPU stubs
+    ext = types.ModuleType("pointnet2._ext")
+    ext.furthest_point_sampling = _fps_stub
+    ext.ball_query = _ball_query_stub
+    ext.gather_points = _gather_points_stub
+    ext.group_points = _group_points_stub
+    pn2 = types.ModuleType("pointnet2")
+    pn2._ext = ext
+    sys.modules["pointnet2"] = pn2
+    sys.modules["pointnet2._ext"] = ext
+    # pointnet2_utils does a bare `import pytorch_utils`
+    sys.path.insert(0, os.path.join(REF, "third_party_pointnet2", "pointnet2"))
+    # reference-root modules (criterion.py, optimizer.py, engine.py)
+    sys.path.insert(0, REF)
+
+    # torchvision stub (only names touched at import / in the non-CLIP paths)
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+
+    class _NoOp:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            raise NotImplementedError("torchvision stub")
+
+    class _Interp:
+        BICUBIC = "bicubic"
+        BILINEAR = "bilinear"
+
+    for name in ("Resize", "Compose", "CenterCrop", "ToTensor", "Normalize"):
+        setattr(tvt, name, _NoOp)
+    tvt.InterpolationMode = _Interp
+    tv.transforms = tvt
+    tvo = types.ModuleType("torchvision.ops")
+    tvo.nms = _NoOp()
+    tvo.sigmoid_focal_loss = _sigmoid_focal_loss_stub
+    tv.ops = tvo
+    tvm = types.ModuleType("torchvision.models")
+    tvmd = types.ModuleType("torchvision.models.detection")
+    tvmb = types.ModuleType("torchvision.models.detection.backbone_utils")
+    tvmb.resnet_fpn_backbone = _NoOp
+    tvmd.backbone_utils = tvmb
+    tvm.detection = tvmd
+    tv.models = tvm
+    for k, v in [
+        ("torchvision", tv), ("torchvision.transforms", tvt),
+        ("torchvision.ops", tvo), ("torchvision.models", tvm),
+        ("torchvision.models.detection", tvmd),
+        ("torchvision.models.detection.backbone_utils", tvmb),
+    ]:
+        sys.modules[k] = v
+
+    # timm constants (vendored vision_transformer + model_3detr import these)
+    timm = types.ModuleType("timm")
+    td = types.ModuleType("timm.data")
+    tdc = types.ModuleType("timm.data.constants")
+    for mod in (td, tdc):
+        mod.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+        mod.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+        mod.IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+        mod.IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+        mod.OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+        mod.OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+        mod.DEFAULT_CROP_PCT = 0.875
+    timm.data = td
+    timm.__version__ = "0.0.0"
+    sys.modules["timm"] = timm
+    sys.modules["timm.data"] = td
+    sys.modules["timm.data.constants"] = tdc
+
+    # CLIP/clip/clip.py: `from pkg_resources import packaging`
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:
+            pr = types.ModuleType("pkg_resources")
+            pr.packaging = importlib.import_module("packaging")
+            pr.packaging.version = importlib.import_module("packaging.version")
+            sys.modules["pkg_resources"] = pr
+
+    # CLIP BPE tokenizer text-normalization dep (never invoked here)
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            ftfy = types.ModuleType("ftfy")
+            ftfy.fix_text = lambda s: s
+            sys.modules["ftfy"] = ftfy
+
+    # utils.pc_util / votenet_pc_util IO deps
+    for name in ("plyfile", "trimesh"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.PlyData = stub.PlyElement = object
+            sys.modules[name] = stub
+    return saved
+
+
+def restore(saved):
+    for k in list(sys.modules):
+        if k not in saved:
+            del sys.modules[k]
+        elif sys.modules[k] is not saved[k]:
+            sys.modules[k] = saved[k]
+    for p in (os.path.join(REF, "third_party_pointnet2", "pointnet2"), REF):
+        while p in sys.path:
+            sys.path.remove(p)

@@ -38,7 +38,8 @@ def _lsa_single(cost: jnp.ndarray, nlive: jnp.ndarray) -> jnp.ndarray:
     """cost: (R, C) float32 with R <= C; nlive: scalar int, rows >= nlive are
     ignored. Returns col4row: (R,) int32 columns (garbage for dead rows)."""
     r_dim, c_dim = cost.shape
-    assert r_dim <= c_dim, "need rows <= cols; transpose the cost matrix"
+    # static r_dim > c_dim is fine as long as nlive <= c_dim at runtime
+    # (dead rows are skipped outright)
 
     row_ids = jnp.arange(r_dim, dtype=jnp.int32)
     col_ids = jnp.arange(c_dim, dtype=jnp.int32)
@@ -125,15 +126,17 @@ def _lsa_single(cost: jnp.ndarray, nlive: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def hungarian_match(cost: jnp.ndarray, nlive: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Batched assignment. cost: (B, R, C) with R <= C -> col4row (B, R) int32.
+    """Batched assignment. cost: (B, R, C) -> col4row (B, R) int32.
 
     Row i of each sample is assigned column col4row[b, i]; all assigned
     columns are distinct; the total cost over rows is minimal.  With `nlive`
     (B,), rows >= nlive[b] are excluded from the problem (their output is
     arbitrary) -- removing rows never changes the optimum over the rest.
+    Requires nlive[b] <= C (defaults to R, requiring R <= C).
     """
     cost = cost.astype(jnp.float32)
     if nlive is None:
+        assert cost.shape[1] <= cost.shape[2], "need rows <= cols (or pass nlive)"
         nlive = jnp.full((cost.shape[0],), cost.shape[1], jnp.int32)
     return jax.vmap(_lsa_single)(cost, nlive.astype(jnp.int32))
 
@@ -152,13 +155,16 @@ def matcher_assignments(cost_prop_gt: jnp.ndarray, nactual_gt: jnp.ndarray):
       proposal_matched_mask: (B, nprop) float32 1/0.
     """
     b, nprop, ngt = cost_prop_gt.shape
-    if ngt <= nprop:
-        # common case (64 GT x 128 proposals): rows = GT; padded GT rows are
-        # excluded from the assignment via nlive (the augmenting-path loop
-        # does no work for them and the caller masks their outputs).
+
+    def rows_are_gt():
+        """rows = GT orientation: valid for samples with nactual <= nprop.
+        No large-constant padding anywhere -- padded GT rows are excluded
+        from the assignment via nlive (the augmenting-path loop does no work
+        for them and the caller masks their outputs)."""
         cost_gt_prop = jnp.swapaxes(cost_prop_gt, 1, 2).astype(jnp.float32)
-        gt_live = jnp.arange(ngt)[None, :] < nactual_gt[:, None]  # (B, ngt)
-        col4row = hungarian_match(cost_gt_prop, nactual_gt)  # (B, ngt)
+        nlive = jnp.minimum(nactual_gt, nprop)  # clamp keeps dead samples finite
+        gt_live = jnp.arange(ngt)[None, :] < nlive[:, None]  # (B, ngt)
+        col4row = hungarian_match(cost_gt_prop, nlive)  # (B, ngt)
 
         per_prop = jnp.zeros((b, nprop), jnp.int32)
         matched = jnp.zeros((b, nprop), jnp.float32)
@@ -170,21 +176,33 @@ def matcher_assignments(cost_prop_gt: jnp.ndarray, nactual_gt: jnp.ndarray):
         matched = jax.vmap(lambda mm, c: mm.at[c].set(1.0, mode="drop"))(
             matched, safe_cols
         )
+        return per_prop, matched
+
+    if ngt <= nprop:
+        # common case (64 GT x 128 proposals): nactual <= ngt <= nprop always
+        per_prop, matched = rows_are_gt()
         return {"per_prop_gt_inds": per_prop, "proposal_matched_mask": matched}
 
-    # ngt > nprop: rows = proposals; columns = GT padded up to >= nprop with a
-    # large constant cost.  Padded columns absorb the unmatched proposals at
-    # identical cost each, so the optimum over real columns equals scipy's
-    # rectangular optimum.
-    ncols = max(ngt, nprop)
-    big = jnp.float32(1e6)
-    col_ids = jnp.arange(ncols, dtype=jnp.int32)
-    col_live = col_ids[None, :] < nactual_gt[:, None]  # (B, ncols)
-    padded = jnp.full((b, nprop, ncols), big, jnp.float32)
-    padded = padded.at[:, :, :ngt].set(cost_prop_gt.astype(jnp.float32))
-    cost_full = jnp.where(col_live[:, None, :], padded, big)
+    # ngt > nprop (nqueries < max_num_obj): samples with nactual <= nprop use
+    # the rows=GT orientation above; samples with nactual > nprop use
+    # rows=proposals with dead GT columns masked by a large constant.  The
+    # big-M path is PRECISION-SAFE only when every proposal can match a live
+    # column (nactual >= nprop): then no big entry ever enters the duals.
+    # (Using big-M for nactual < nprop loses the assignment to float32
+    # rounding: resolution at 1e6 is 0.0625, larger than typical cost gaps.)
+    per_prop_a, matched_a = rows_are_gt()
 
+    big = jnp.float32(1e6)
+    col_ids = jnp.arange(ngt, dtype=jnp.int32)
+    col_live = col_ids[None, :] < nactual_gt[:, None]  # (B, ngt)
+    cost_full = jnp.where(
+        col_live[:, None, :], cost_prop_gt.astype(jnp.float32), big
+    )
     gt4prop = hungarian_match(cost_full)  # (B, nprop) column per proposal
-    matched = (gt4prop < nactual_gt[:, None]).astype(jnp.float32)
-    per_prop = jnp.where(matched > 0, gt4prop, 0).astype(jnp.int32)
+    matched_b = (gt4prop < nactual_gt[:, None]).astype(jnp.float32)
+    per_prop_b = jnp.where(matched_b > 0, gt4prop, 0).astype(jnp.int32)
+
+    use_a = (nactual_gt <= nprop)[:, None]
+    per_prop = jnp.where(use_a, per_prop_a, per_prop_b)
+    matched = jnp.where(use_a, matched_a, matched_b)
     return {"per_prop_gt_inds": per_prop, "proposal_matched_mask": matched}

@@ -224,10 +224,31 @@ def install_stubs():
             stub = types.ModuleType(name)
             stub.PlyData = stub.PlyElement = object
             sys.modules[name] = stub
+
+    # the reference hardcodes .to('cuda') in a few ctors (criterion.py:97);
+    # redirect to CPU while the stubs are installed
+    import torch
+
+    if not hasattr(torch.Tensor, "_coda_orig_to"):
+        orig_to = torch.Tensor.to
+
+        def _to_cpu_redirect(self, *args, **kwargs):
+            args = tuple("cpu" if a == "cuda" else a for a in args)
+            if kwargs.get("device") == "cuda":
+                kwargs["device"] = "cpu"
+            return orig_to(self, *args, **kwargs)
+
+        torch.Tensor._coda_orig_to = orig_to
+        torch.Tensor.to = _to_cpu_redirect
     return saved
 
 
 def restore(saved):
+    import torch
+
+    if hasattr(torch.Tensor, "_coda_orig_to"):
+        torch.Tensor.to = torch.Tensor._coda_orig_to
+        del torch.Tensor._coda_orig_to
     for k in list(sys.modules):
         if k not in saved:
             del sys.modules[k]

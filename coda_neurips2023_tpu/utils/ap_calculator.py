@@ -43,11 +43,23 @@ def flip_axis_to_depth_np(pc):
 
 def points_in_box_mask(pc: np.ndarray, box3d: np.ndarray) -> np.ndarray:
     """pc: (N, 3), box3d: (8, 3) depth-frame corners of a parallelepiped.
-    Exact half-space membership (replaces Delaunay in_hull, box_util.py:20-27).
 
-    Corner layout (get_3d_box_batch then flipped to depth): edges from corner
-    0 to corners 1, 3, 4 span the box.
+    BIT-FAITHFUL to the reference metric protocol: scipy Delaunay
+    `find_simplex` (reference in_hull, box_util.py:22-25) -- its boundary
+    tolerance differs from an exact half-space test by ~1e-5 relative, enough
+    to flip the >= 5-points empty-box gate on real data (found by the live
+    AP-parity test).  The exact half-space test is kept only as the fallback
+    for degenerate (coplanar) hulls, where Delaunay raises and the reference
+    itself would crash.
     """
+    try:
+        from scipy.spatial import Delaunay
+
+        return Delaunay(box3d).find_simplex(pc) >= 0
+    except Exception:
+        pass
+    # degenerate-hull fallback: exact membership in the parallelepiped
+    # spanned by edges 0->1, 0->3, 0->4 (get_3d_box_batch corner layout)
     origin = box3d[0]
     axes = np.stack([box3d[1] - origin, box3d[3] - origin, box3d[4] - origin])  # (3,3)
     lens = np.sum(axes * axes, axis=1)  # squared lengths
@@ -324,7 +336,23 @@ class APCalculator:
                 ret_dict["%s Recall" % clsname] = r
                 rec_list.append(r)
             if prec_list:
-                ret_dict["Prec"] = float(np.mean(prec_list))
+                prec_vals = np.array(prec_list, dtype=np.float64)
+                ret_dict["Prec"] = float(prec_vals.mean())
+                # Prec buckets mirror the mAP buckets and are gated on the
+                # AP class count like the reference (ap_calculator.py:1660-1675)
+                if ap_vals.shape[0] > 2:
+                    if self.dataset_name.find("scannet") == -1 or ap_vals.shape[0] < 21:
+                        ret_dict["Prec_fre"] = float(prec_vals[:4].mean())
+                        ret_dict["Prec_common"] = float(prec_vals[4:10].mean())
+                        ret_dict["Prec_base"] = float(prec_vals[:10].mean())
+                        ret_dict["Prec_novel"] = float(prec_vals[10:].mean())
+                    else:
+                        seen = self.dataset_config.seen_idx_list
+                        novel = self.dataset_config.novel_idx_list
+                        ret_dict["Prec_fre"] = float(prec_vals[seen].mean())
+                        ret_dict["Prec_common"] = float(prec_vals[seen].mean())
+                        ret_dict["Prec_base"] = float(prec_vals[seen].mean())
+                        ret_dict["Prec_novel"] = float(prec_vals[novel].mean())
             if rec_list:
                 rec_vals = np.array(rec_list, dtype=np.float32)
                 ret_dict["AR"] = rec_vals.mean()

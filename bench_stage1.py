@@ -15,6 +15,9 @@ import numpy as np
 def main():
     cli = argparse.ArgumentParser()
     cli.add_argument("--dtype", default="float32", choices=["float32", "bf16"])
+    cli.add_argument("--clip_fp32", action="store_true",
+                     help="run the CLIP tower in fp32 instead of the shipped "
+                          "bf16 default (main.py --clip_dtype)")
     cli.add_argument("--agreement", action="store_true")
     cli.add_argument("--decompose", action="store_true",
                      help="time phase A (targets) and phase B (train) separately")
@@ -78,6 +81,7 @@ def main():
         if_accumulate_former_pseudo_labels=False,
         if_keep_box=False,
         compute_dtype=cli_args.dtype,
+        clip_dtype="float32" if cli_args.clip_fp32 else "bf16",
     )
     args.if_clip_weak_labels = cli_args.agreement
     tx, schedule = build_optimizer(args, None, 600)
@@ -160,6 +164,7 @@ def main():
         results = {}
         for dt_name in ("float32", "bf16"):
             args.compute_dtype = dt_name
+            args.clip_dtype = dt_name
             ctx_d = StageContext(args, eval_cfg)
             targets_step = ctx_d.make_targets_step(model)
             tgt = jax.device_get(targets_step(state, batch, jax.random.PRNGKey(1)))

@@ -62,6 +62,14 @@ def make_args_parser():
         help="matmul/attention compute dtype (params stay f32); ours, not a reference flag",
     )
     parser.add_argument(
+        "--clip_dtype", default="float32", choices=["float32", "bf16", "bfloat16"],
+        help="frozen CLIP tower compute dtype (the reference runs CLIP fp16, "
+             "convert_weights CLIP/clip/model.py:1146, but on v5e fp32 "
+             "matmuls already run as bf16 MXU passes and explicit bf16 "
+             "measured SLOWER end-to-end: 507 vs 332 ms/step -- see "
+             "BASELINE.md); ours, not a reference flag",
+    )
+    parser.add_argument(
         "--if_two_phase_stage_step", default=False, action="store_true",
         help="split stage training into a targets jit + train jit instead of "
              "the fused single jit (fallback; ours, not a reference flag)",

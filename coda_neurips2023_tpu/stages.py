@@ -31,20 +31,27 @@ from coda_neurips2023_tpu.models.distillation import build_clip_distillation_tar
 from coda_neurips2023_tpu.models.text_bank import build_text_banks
 
 
+def clip_tower_dtype(args):
+    """Dtype for the frozen CLIP tower.  The reference runs CLIP fp16 on CUDA
+    (convert_weights, CLIP/clip/model.py:1146); on v5e explicit bf16 measured
+    SLOWER than fp32 end-to-end (507 vs 332 ms stage-1 step -- fp32 matmuls
+    already execute as bf16 MXU passes, and the bf16 HLO adds convert/relayout
+    ops), so the default stays float32.  --clip_dtype bf16 or
+    --compute_dtype bf16 opts in."""
+    bf16 = (
+        getattr(args, "clip_dtype", "float32") in ("bf16", "bfloat16")
+        or getattr(args, "compute_dtype", "float32") in ("bf16", "bfloat16")
+    )
+    return jnp.bfloat16 if bf16 else jnp.float32
+
+
 class StageContext:
     def __init__(self, args, dataset_config, clip_model: Optional[CLIP] = None,
                  crop_size: int = 224):
         self.args = args
         self.crop_size = crop_size
         if clip_model is None:
-            import jax.numpy as _jnp
-
-            dtype = (
-                _jnp.bfloat16
-                if getattr(args, "compute_dtype", "float32") in ("bf16", "bfloat16")
-                else _jnp.float32
-            )
-            clip_model = CLIP(dtype=dtype)
+            clip_model = CLIP(dtype=clip_tower_dtype(args))
         self.clip_model = clip_model
         self.clip_variables = None
         self.logit_scale = 100.0

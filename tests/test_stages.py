@@ -261,3 +261,23 @@ def test_fused_train_step_matches_two_phase(stage1_setup):
     _, m_fused = fused(state, batch, rng)
     _, m_split = split(state, batch, rng)
     np.testing.assert_allclose(float(m_fused["loss"]), float(m_split["loss"]), rtol=1e-5)
+
+
+def test_clip_tower_dtype_selection():
+    """fp32 default (explicit bf16 measured SLOWER on v5e, see
+    stages.clip_tower_dtype); --clip_dtype bf16 / --compute_dtype bf16 opt in."""
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.stages import clip_tower_dtype
+
+    assert clip_tower_dtype(types.SimpleNamespace()) == jnp.float32
+    assert clip_tower_dtype(types.SimpleNamespace(clip_dtype="bf16")) == jnp.bfloat16
+    assert (
+        clip_tower_dtype(types.SimpleNamespace(clip_dtype="float32")) == jnp.float32
+    )
+    assert (
+        clip_tower_dtype(
+            types.SimpleNamespace(clip_dtype="float32", compute_dtype="bf16")
+        )
+        == jnp.bfloat16
+    )

@@ -157,7 +157,9 @@ def main():
         loss, _ = criterion(out, t)
         return loss
 
-    vg = jax.jit(lambda p, bs, c, b, r: jax.value_and_grad(loss_fn)(p, bs, c, b, r)[0])
+    # return value AND grads: returning only the value lets XLA DCE the
+    # entire backward pass (jit outputs are always materialized)
+    vg = jax.jit(lambda *a: jax.value_and_grad(loss_fn)(*a))
     t_vg = timeit(vg, state.params, state.batch_stats, state.constants, batch, rng)
     print(f"value_and_grad:         {t_vg:7.1f} ms")
     print(f"(optimizer+clip = full - vg ~= {t_full - t_vg:.1f} ms)")

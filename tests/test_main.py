@@ -200,3 +200,25 @@ def test_scannet_script_flags_and_range_list_config():
     for cid, idx in zip(sorted(train_list), sorted(cfg.seen_idx_list)):
         pass  # seen ids are a subset of expect_ids by construction
     assert set(cfg.seen_idx_list) | set(cfg.novel_idx_list) == set(range(60))
+
+
+def test_inert_compat_flags_reject_loudly():
+    """Non-default values of unwired-variant flags raise NotImplementedError
+    (round-1 verdict item 10); default values (what the shipped scripts pass
+    explicitly) are accepted."""
+    from coda_neurips2023_tpu.main import reject_inert_flags
+
+    parser = make_args_parser()
+    ok = parser.parse_args(
+        ["--cross_enc_dim", "256", "--every_number", "4",
+         "--pooling_methods", "average"]
+    )
+    reject_inert_flags(parser, ok)  # defaults, even passed explicitly: fine
+
+    bad = parser.parse_args(["--online_nms_update_save_novel_label"])
+    with pytest.raises(NotImplementedError, match="online_nms_update_save_novel_label"):
+        reject_inert_flags(parser, bad)
+
+    bad2 = parser.parse_args(["--cross_enc_dim", "512"])
+    with pytest.raises(NotImplementedError, match="cross_enc_dim"):
+        reject_inert_flags(parser, bad2)

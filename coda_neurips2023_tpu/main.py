@@ -735,6 +735,10 @@ _INERT_COMPAT_FLAGS = (
     "online_nms_update_save_novel_label_clip_driven_with_cate_confidence_iou_match_weakly",
     "online_nms_update_max_num_epoch", "if_online_keep_max_box_number",
     "repeat_time", "online_nms_update_accumulate_epoch",
+    # declared but never read even by the reference (its learned-prompt text
+    # path lives in CLIP/clip/model.py:1084 and is driven by unwired models;
+    # ours: models/clip.py encode_text_with_prompt_embedding)
+    "former_prompt_len", "later_prompt_len", "prompt_embedding_dir",
 )
 
 

@@ -303,7 +303,14 @@ class StageContext:
             }
 
         clip_vars_device = jax.device_put(self.clip_variables)
-        text_device = jax.device_put(self.text_banks[bank])
+        text = self.text_banks[bank]
+        if getattr(self.args, "if_only_novel_prompt", False) and bank == "test":
+            # --if_only_novel_prompt (reference model_3detr.py:1985, 2846):
+            # zero-shot classify against ONLY the novel slice of the test
+            # vocabulary (SUN RGB-D v1 rows 10:37); sem_cls_prob narrows to
+            # 27 classes -- an analysis mode, caller arranges the eval config
+            text = text[10:37]
+        text_device = jax.device_put(text)
 
         def eval_step(state, batch):
             return impl(state, batch, clip_vars_device, text_device)

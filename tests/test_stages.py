@@ -281,3 +281,17 @@ def test_clip_tower_dtype_selection():
         )
         == jnp.bfloat16
     )
+
+
+def test_if_only_novel_prompt_narrows_eval_vocab(stage1_setup):
+    """--if_only_novel_prompt classifies against rows 10:37 of the test bank
+    (reference model_3detr.py:1985, 2846: novel-only zero-shot analysis)."""
+    cfg, eval_cfg, model, batch = stage1_setup
+    args = stage_args(if_only_novel_prompt=True)
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    tx, schedule = build_optimizer(args, None, 4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    eval_step = ctx.make_clip_eval_step(model)
+    out = jax.device_get(eval_step(state, batch))
+    assert out["sem_cls_prob"].shape[-1] == 27
+    assert np.all(np.isfinite(out["sem_cls_prob"]))

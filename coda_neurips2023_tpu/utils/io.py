@@ -114,3 +114,15 @@ def restore_params_only(checkpoint_path: str, state, model_args=None):
         batch_stats=restored.batch_stats,
         constants=restored.constants,
     )
+
+
+def load_checkpoint_tree(checkpoint_dir: str, filename: str = "checkpoint"):
+    """Load a checkpoint WITHOUT a target state (raw pytree + meta sidecar).
+    Used by the torch exporter (utils/torch_convert.py) where no model
+    instance exists."""
+    path = _ckpt_dir(checkpoint_dir, filename)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(path)
+    return jax.device_get(tree), _load_meta(path)

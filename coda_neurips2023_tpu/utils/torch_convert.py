@@ -203,3 +203,197 @@ def load_reference_checkpoint(path: str, **kw):
     # strip DDP prefixes
     sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
     return convert_reference_state_dict(sd, **kw)
+
+
+# --------------------------------------------------------------------------
+# Inverse direction: CoDA-TPU flax variables -> reference-format state dict.
+# Lets a model trained here be loaded by the reference codebase
+# (load_state_dict on Model3DETR*Head, /root/reference/main.py:908-909) --
+# the migration path BACK is part of drop-in replaceability.
+
+
+def _inv_conv_kernel(k):  # (I, O) -> (O, I, 1)  (reference uses Conv1d in MLPs)
+    return np.asarray(k).T[..., None]
+
+
+def _inv_linear(out, sd, prefix):
+    sd[prefix + ".weight"] = np.asarray(out["kernel"]).T
+    if "bias" in out:
+        sd[prefix + ".bias"] = np.asarray(out["bias"])
+
+
+def _inv_ln(p, sd, prefix):
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _inv_bn(p, s, sd, prefix):
+    _inv_ln(p, sd, prefix)
+    sd[prefix + ".running_mean"] = np.asarray(s["mean"])
+    sd[prefix + ".running_var"] = np.asarray(s["var"])
+    sd[prefix + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _inv_mha(p, sd, prefix):
+    """flax MHA (kernels (in, heads, hd)) -> torch in_proj/out_proj."""
+    ws, bs = [], []
+    for name in ["query", "key", "value"]:
+        k = np.asarray(p[name]["kernel"])  # (in, heads, hd)
+        width_in = k.shape[0]
+        ws.append(k.reshape(width_in, -1).T)  # (out, in)
+        bs.append(np.asarray(p[name]["bias"]).reshape(-1))
+    sd[prefix + "in_proj_weight"] = np.concatenate(ws, axis=0)
+    sd[prefix + "in_proj_bias"] = np.concatenate(bs, axis=0)
+    k = np.asarray(p["out"]["kernel"])  # (heads, hd, out)
+    sd[prefix + "out_proj.weight"] = k.reshape(-1, k.shape[-1]).T
+    sd[prefix + "out_proj.bias"] = np.asarray(p["out"]["bias"])
+
+
+def _inv_encoder_layer(p, sd, prefix):
+    _inv_mha(p["self_attn"], sd, prefix + ".self_attn.")
+    _inv_linear(p["linear1"], sd, prefix + ".linear1")
+    _inv_linear(p["linear2"], sd, prefix + ".linear2")
+    _inv_ln(p["norm1"], sd, prefix + ".norm1")
+    _inv_ln(p["norm2"], sd, prefix + ".norm2")
+
+
+def _inv_decoder_layer(p, sd, prefix):
+    _inv_encoder_layer(p, sd, prefix)
+    _inv_mha(p["multihead_attn"], sd, prefix + ".multihead_attn.")
+    _inv_ln(p["norm3"], sd, prefix + ".norm3")
+
+
+def _inv_generic_mlp(p, s, sd, prefix, hidden_norm: bool, n_hidden: int,
+                     out_norm: bool, dropout: bool):
+    stride = 3 + (1 if dropout else 0)
+    if not hidden_norm:
+        stride = 2 + (1 if dropout else 0)
+    idx = 0
+    for h in range(n_hidden):
+        layer = p[f"layer{h}"]
+        sd[f"{prefix}.layers.{idx}.weight"] = _inv_conv_kernel(layer["kernel"])
+        if "bias" in layer:
+            sd[f"{prefix}.layers.{idx}.bias"] = np.asarray(layer["bias"])
+        idx += 1
+        if hidden_norm:
+            _inv_bn(p[f"norm{h}"], s[f"norm{h}"], sd, f"{prefix}.layers.{idx}")
+            idx += 1
+        idx += 1  # activation
+        if dropout:
+            idx += 1
+    sd[f"{prefix}.layers.{idx}.weight"] = _inv_conv_kernel(p["out"]["kernel"])
+    if "bias" in p["out"]:
+        sd[f"{prefix}.layers.{idx}.bias"] = np.asarray(p["out"]["bias"])
+    idx += 1
+    if out_norm:
+        _inv_bn(p["out_norm"], s["out_norm"], sd, f"{prefix}.layers.{idx}")
+
+
+def export_reference_state_dict(
+    params: dict,
+    batch_stats: dict,
+    constants: dict,
+    logit_scale: float | None = None,
+) -> Dict[str, np.ndarray]:
+    """CoDA3DETR flax variables -> reference state-dict names/layouts (the
+    exact inverse of convert_reference_state_dict; roundtrip-tested).  CLIP
+    tower weights are NOT included (frozen, identical on both sides; the
+    reference re-loads them from ViT-B-16.pt at model build,
+    model_3detr.py:325-399)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    pe_p = params["pre_encoder"]["mlp_module"]
+    pe_s = batch_stats["pre_encoder"]["mlp_module"]
+    n_convs = sum(1 for k in pe_p if k.startswith("conv"))
+    for i in range(n_convs):
+        # SharedMLP uses Conv2d 1x1 (pytorch_utils.py:8): (O, I, 1, 1)
+        sd[f"pre_encoder.mlp_module.layer{i}.conv.weight"] = _inv_conv_kernel(
+            pe_p[f"conv{i}"]["kernel"]
+        )[..., None]
+        _inv_bn(pe_p[f"bn{i}"], pe_s[f"bn{i}"], sd,
+                f"pre_encoder.mlp_module.layer{i}.bn.bn")
+
+    enc = params["encoder"]
+    for name, layer in enc.items():
+        if name.startswith("layer"):
+            _inv_encoder_layer(layer, sd, f"encoder.layers.{name[5:]}")
+
+    dec = params["decoder"]
+    for name, layer in dec.items():
+        if name.startswith("layer"):
+            _inv_decoder_layer(layer, sd, f"decoder.layers.{name[5:]}")
+    _inv_ln(dec["norm"], sd, "decoder.norm")
+
+    _inv_generic_mlp(
+        params["encoder_to_decoder_projection"],
+        batch_stats["encoder_to_decoder_projection"],
+        sd, "encoder_to_decoder_projection",
+        hidden_norm=True, n_hidden=2, out_norm=True, dropout=False,
+    )
+    _inv_generic_mlp(
+        params["query_projection"], {}, sd, "query_projection",
+        hidden_norm=False, n_hidden=1, out_norm=False, dropout=False,
+    )
+    for name in ("sem_cls_head", "center_head", "size_head", "angle_cls_head",
+                 "angle_residual_head", "text_correlation_head"):
+        if name not in params:
+            continue
+        _inv_generic_mlp(
+            params[name], batch_stats.get(name, {}), sd, f"mlp_heads.{name}",
+            hidden_norm=True, n_hidden=2, out_norm=False, dropout=True,
+        )
+
+    if constants.get("pos_embedding", {}).get("gauss_B") is not None:
+        sd["pos_embedding.gauss_B"] = np.asarray(constants["pos_embedding"]["gauss_B"])
+    if logit_scale is not None:
+        # raw LOG-scale parameter, matching what convert_reference_state_dict
+        # returns (the exp-clip happens at use, stages.py StageContext)
+        sd["logit_scale"] = np.asarray(logit_scale, dtype=np.float32)
+    return sd
+
+
+def export_checkpoint_to_torch(checkpoint_dir: str, out_path: str,
+                               filename: str = "last_checkpoint") -> str:
+    """Orbax checkpoint (utils/io.py layout) -> reference-loadable .pth
+    ({'model': state_dict, 'epoch': N}, reference utils/io.py:8-30)."""
+    import torch
+
+    from coda_neurips2023_tpu.engine import TrainState
+    from coda_neurips2023_tpu.utils.io import load_checkpoint_tree
+
+    tree, meta = load_checkpoint_tree(checkpoint_dir, filename)
+    sd = export_reference_state_dict(
+        tree["params"], tree.get("batch_stats", {}), tree.get("constants", {}),
+        logit_scale=None,
+    )
+    payload = {
+        "model": {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+        "epoch": int(meta.get("epoch", 0)),
+        "best_val_metrics": meta.get("best_val_metrics", {}),
+    }
+    torch.save(payload, out_path)
+    return out_path
+
+
+def _cli():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert checkpoints between this framework and the "
+        "reference PyTorch format"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    exp = sub.add_parser("export", help="orbax checkpoint dir -> reference .pth")
+    exp.add_argument("checkpoint_dir")
+    exp.add_argument("out_path")
+    exp.add_argument("--filename", default="last_checkpoint")
+    args = ap.parse_args()
+    if args.cmd == "export":
+        path = export_checkpoint_to_torch(
+            args.checkpoint_dir, args.out_path, args.filename
+        )
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -181,3 +181,30 @@ def test_full_trunk_aux_layer_parity(parity):
                 ref_l[key].detach().cpu().numpy(),
                 rtol=2e-3, atol=2e-4, err_msg=f"layer {l} {key}",
             )
+
+
+def test_export_reproduces_reference_state_dict(parity):
+    """export_reference_state_dict(convert(sd)) == the REAL reference model's
+    own state_dict, key for key and bit for bit -- i.e. a checkpoint trained
+    in this framework strict-loads into the reference codebase (its
+    load_state_dict, /root/reference/main.py:908-909)."""
+    from coda_neurips2023_tpu.utils.torch_convert import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    args = parity.args
+    params, stats, constants, logit_scale = convert_reference_state_dict(
+        parity.sd, enc_nlayers=args.enc_nlayers, dec_nlayers=args.dec_nlayers,
+        enc_nhead=args.enc_nhead, dec_nhead=args.dec_nhead,
+    )
+    back = export_reference_state_dict(params, stats, constants, logit_scale)
+
+    leftover = set(parity.sd) - set(back)
+    assert not leftover, f"reference keys not exported: {sorted(leftover)[:8]}"
+    extras = set(back) - set(parity.sd)
+    assert not extras, f"exported keys unknown to the reference: {sorted(extras)[:8]}"
+    for k, v in back.items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(parity.sd[k]), err_msg=k
+        )

@@ -142,3 +142,71 @@ def test_convert_matches_model_tree():
         train=False,
     )
     assert np.all(np.isfinite(np.asarray(out["box_corners"])))
+
+
+def test_export_roundtrips_reference_state_dict():
+    """export_reference_state_dict is the exact inverse of
+    convert_reference_state_dict: sd -> convert -> export reproduces every
+    original key bit-exactly (transposes/reshapes only), so a model trained
+    here can be loaded by the reference codebase."""
+    from coda_neurips2023_tpu.utils.torch_convert import export_reference_state_dict
+
+    sd = fake_reference_sd()
+    params, stats, constants, logit_scale = convert_reference_state_dict(
+        sd, enc_nlayers=ENC_L, dec_nlayers=DEC_L
+    )
+    back = export_reference_state_dict(params, stats, constants, logit_scale)
+
+    missing = set(sd) - set(back)
+    assert not missing, f"keys lost in export: {sorted(missing)[:5]}"
+    extras = {k for k in set(back) - set(sd) if not k.endswith("num_batches_tracked")}
+    assert not extras, f"unexpected exported keys: {sorted(extras)[:5]}"
+    for k in sd:
+        np.testing.assert_array_equal(
+            np.asarray(back[k]), np.asarray(sd[k]), err_msg=k
+        )
+
+
+def test_export_checkpoint_to_torch_end_to_end(tmp_path):
+    """orbax checkpoint -> export_checkpoint_to_torch .pth -> reloaded via
+    load_reference_checkpoint: bit-exact params (the migration path back to
+    the reference codebase, reference utils/io.py:8-30 payload layout)."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    from coda_neurips2023_tpu.engine import create_train_state
+    from coda_neurips2023_tpu.utils.io import save_checkpoint
+    from coda_neurips2023_tpu.utils.torch_convert import (
+        export_checkpoint_to_torch,
+        load_reference_checkpoint,
+    )
+
+    cfg = SunrgbdAnonymousConfig()
+    model = CoDA3DETR(
+        dataset_config=cfg, enc_dim=ENC_DIM, dec_dim=DEC_DIM,
+        enc_nlayers=ENC_L, dec_nlayers=DEC_L, enc_ffn_dim=ENC_FFN,
+        dec_ffn_dim=DEC_FFN, preenc_npoints=64, nqueries=16,
+    )
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.uniform(-3, 3, (2, 256, 3)).astype(np.float32))
+    batch = {
+        "point_clouds": pc,
+        "point_cloud_dims_min": pc.min(1),
+        "point_cloud_dims_max": pc.max(1),
+    }
+    state = create_train_state(model, optax.adamw(1e-3), jax.random.PRNGKey(0), batch)
+    save_checkpoint(str(tmp_path), state, epoch=3, best_val_metrics={"ap25": 0.1})
+    out = export_checkpoint_to_torch(
+        str(tmp_path), str(tmp_path / "export.pth"), filename="checkpoint"
+    )
+    payload = torch.load(out, map_location="cpu", weights_only=False)
+    assert payload["epoch"] == 3
+    params, stats, consts, _ = load_reference_checkpoint(
+        out, enc_nlayers=ENC_L, dec_nlayers=DEC_L
+    )
+    want = jax.tree_util.tree_flatten_with_path(jax.device_get(state.params))[0]
+    got = jax.tree_util.tree_flatten_with_path(params)[0]
+    key = lambda t: jax.tree_util.keystr(t[0])
+    for (pa, a), (pb, b) in zip(sorted(want, key=key), sorted(got, key=key)):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -100,10 +100,17 @@ def build_dataset(args):
         raise ValueError(f"unknown dataset {name}")
 
     if name == "synthetic" or args.dataset_root_dir is None:
-        # data-free mode: synthetic scenes with the same contract
-        cfg = _sunrgbd_cfg(args, anonymous=True)
-        real_cfg = _sunrgbd_cfg(args, anonymous=False)
-        cmp_cfg = _sunrgbd_cfg(args, cmp_vocab=True)
+        # data-free mode: synthetic scenes with the same contract; scannet
+        # names get the REAL scannet configs (axis-aligned boxes, raw-id
+        # vocab rebuild) so the full scannet path smokes without data
+        if name.startswith("scannet"):
+            cfg = _scannet_cfg(args, anonymous=True)
+            real_cfg = _scannet_cfg(args, anonymous=False)
+            cmp_cfg = _scannet_cfg(args, cmp_vocab=True)
+        else:
+            cfg = _sunrgbd_cfg(args, anonymous=True)
+            real_cfg = _sunrgbd_cfg(args, anonymous=False)
+            cmp_cfg = _sunrgbd_cfg(args, cmp_vocab=True)
         mk = functools.partial(
             SyntheticDetectionDataset,
             num_points=getattr(args, "num_points", 20000),

@@ -325,6 +325,22 @@ def build_everything(args):
         from coda_neurips2023_tpu.stages import StageContext
 
         stage_ctx = StageContext(args, real_test_config)
+        n_test_classes = int(stage_ctx.text_banks["test"].shape[0])
+        if (
+            not getattr(args, "if_only_novel_prompt", False)
+            and n_test_classes != real_test_config.num_semcls
+        ):
+            # fail HERE, not with an IndexError inside parse_predictions an
+            # epoch later: the zero-shot class count (test text bank, driven
+            # by --test_range_max / the vocab assets) must match the eval
+            # protocol's --test_num_semcls (reference builds both from the
+            # same vocab slice, model_3detr.py:339-389)
+            raise ValueError(
+                f"test text bank has {n_test_classes} classes but the eval "
+                f"config expects {real_test_config.num_semcls} "
+                f"(--test_num_semcls); check --test_range_max / "
+                f"--test_range_list / --asset_dir vocabulary"
+            )
     return {
         "stage_ctx": stage_ctx,
         "datasets": datasets,

@@ -363,7 +363,12 @@ class APCalculator:
                         ret_dict["AR_base"] = rec_vals[:10].mean()
                         ret_dict["AR_novel"] = rec_vals[10:].mean()
                     else:
-                        ret_dict["AR_base"] = rec_vals[self.dataset_config.seen_idx_list].mean()
+                        # fre/common alias seen on scannet, like the
+                        # reference (ap_calculator.py:1685-1690)
+                        seen_rec = rec_vals[self.dataset_config.seen_idx_list].mean()
+                        ret_dict["AR_fre"] = seen_rec
+                        ret_dict["AR_common"] = seen_rec
+                        ret_dict["AR_base"] = seen_rec
                         ret_dict["AR_novel"] = rec_vals[self.dataset_config.novel_idx_list].mean()
             overall_ret[ap_iou_thresh] = ret_dict
         return overall_ret

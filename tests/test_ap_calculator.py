@@ -103,3 +103,35 @@ class TestVocAp:
         prec = np.array([1.0, 0.5])
         # envelope: AP = 0.5*1.0 + 0.5*0.5
         assert voc_ap(rec, prec) == pytest.approx(0.75)
+
+
+def test_scannet_buckets_alias_seen():
+    """ScanNet (>=21 classes) buckets mAP/Prec/AR fre/common/base by
+    seen_idx_list and novel by novel_idx_list, fre/common aliasing seen
+    (reference ap_calculator.py:1578-1593, 1660-1690)."""
+    import types
+
+    rng = np.random.default_rng(3)
+    ncls = 24
+    cfg = types.SimpleNamespace(
+        num_semcls=ncls,
+        seen_idx_list=list(range(10)),
+        novel_idx_list=list(range(10, ncls)),
+    )
+    ap = APCalculator(
+        cfg, ap_iou_thresh=[0.25], exact_eval=False, dataset_name="scannet50_image"
+    )
+    # one GT box per class; predictions match only the seen classes
+    centers = np.stack([np.arange(ncls) * 4.0, np.zeros(ncls), np.ones(ncls)], 1)
+    sizes = np.full((ncls, 3), 1.0, np.float32)
+    corners = boxes_to_corners(centers.astype(np.float32), sizes, np.zeros(ncls, np.float32))
+    gt = [[(c, corners[c]) for c in range(ncls)]]
+    pred = [[(c, corners[c], 0.99) for c in range(10)]]
+    ap.accumulate(pred, gt)
+    m = ap.compute_metrics()[0.25]
+    assert m["mAP_base"] == pytest.approx(1.0)
+    assert m["mAP_fre"] == m["mAP_common"] == m["mAP_base"]
+    assert m["mAP_novel"] == pytest.approx(0.0)
+    assert m["AR_fre"] == m["AR_common"] == m["AR_base"] == pytest.approx(1.0)
+    assert m["AR_novel"] == pytest.approx(0.0)
+    assert m["Prec_fre"] == m["Prec_common"] == m["Prec_base"]

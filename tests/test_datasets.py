@@ -277,3 +277,32 @@ def test_scannet_raw_id_pipeline(tmp_path):
     assert present.sum() == 2
     labels = sorted(s["gt_box_sem_cls_label"][present].tolist())
     assert labels == sorted(ecfg.class_id_to_idx[c] for c in (2, 1163))
+
+
+def test_synthetic_fallback_uses_scannet_configs():
+    """Data-free mode with a scannet dataset name builds the REAL scannet
+    configs (axis-aligned, scannet50 eval vocab) instead of SUN RGB-D ones,
+    so the full scannet path can be smoked without licensed data."""
+    import types
+
+    from coda_neurips2023_tpu.datasets import build_dataset
+    from coda_neurips2023_tpu.datasets.config import (
+        Scannet50ImageConfig,
+        ScannetAnonymousConfig,
+        ScannetCmpImageConfig,
+    )
+    from coda_neurips2023_tpu.main import make_args_parser
+
+    args = make_args_parser().parse_args(
+        ["--dataset_name", "scannet_anonymous_aligned_image",
+         "--num_points", "256", "--synthetic_num_scenes", "4",
+         "--test_num_semcls", "60"]
+    )
+    datasets, cfg, real_cfg, cmp_cfg = build_dataset(args)
+    assert isinstance(cfg, ScannetAnonymousConfig)
+    assert isinstance(real_cfg, Scannet50ImageConfig)
+    assert isinstance(cmp_cfg, ScannetCmpImageConfig)
+    assert cfg.num_angle_bin == 1  # axis-aligned family
+    s = datasets["train"][0]
+    assert s["gt_angle_class_label"].max() == 0  # no rotated boxes
+    assert s["point_clouds"].shape == (256, 3)

@@ -55,6 +55,11 @@ def points_in_box_mask(pc: np.ndarray, box3d: np.ndarray) -> np.ndarray:
     try:
         from scipy.spatial import Delaunay
 
+        # (measured: the per-box cost is dominated by the Delaunay
+        # CONSTRUCTION ~0.35 ms, not find_simplex over 20k points ~0.15 ms;
+        # an AABB prefilter was net-negative.  The reference pays the same
+        # construction per box -- scan-level parallelism in
+        # parse_predictions is the lever.)
         return Delaunay(box3d).find_simplex(pc) >= 0
     except Exception:
         pass
@@ -101,14 +106,73 @@ def get_ap_config_dict(
     }
 
 
+_AP_POOL = None
+
+
+def _ap_pool():
+    """Lazily-created fork pool for per-scan parse_predictions jobs.
+    CODA_AP_WORKERS=0 disables (serial); default 8.  Same design as the
+    fork-based data workers (datasets/loader.py): scans are independent, the
+    pool maps them in order, results are bit-identical to the serial path."""
+    global _AP_POOL
+    if _AP_POOL is None:
+        import os
+
+        default = min(8, (os.cpu_count() or 1))
+        if default < 2:
+            default = 0  # single-core host: fork overhead only hurts
+        n = int(os.environ.get("CODA_AP_WORKERS", str(default)))
+        if n <= 0:
+            _AP_POOL = False
+        else:
+            try:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                _AP_POOL = ProcessPoolExecutor(
+                    max_workers=n, mp_context=mp.get_context("fork")
+                )
+            except Exception:
+                _AP_POOL = False
+    return _AP_POOL or None
+
+
+def _parse_one_scan(job):
+    corners, sem, obj, pc, config_dict = job
+    return parse_predictions(
+        corners[None], sem[None], obj[None], pc[None], config_dict, parallel=False
+    )[0]
+
+
 def parse_predictions(
-    predicted_boxes, sem_cls_probs, objectness_probs, point_cloud, config_dict
+    predicted_boxes, sem_cls_probs, objectness_probs, point_cloud, config_dict,
+    parallel: bool = True,
 ):
     """ap_calculator.py:777-960. Inputs are numpy arrays:
     predicted_boxes (B, K, 8, 3) camera-frame corners; sem_cls_probs
     (B, K, ncls); objectness_probs (B, K); point_cloud (B, N, 3+).
     Returns list (len B) of [(cls, corners, score), ...].
+
+    The host AP stack is the true end-to-end eval bottleneck (the in-hull
+    empty-box test alone costs ~70 ms/scan serial vs 7 ms/scan device
+    forward); with `parallel` (default) the batch fans out one scan per
+    fork worker, preserving order and bitwise results.
     """
+    if parallel and np.asarray(predicted_boxes).shape[0] > 1:
+        pool = _ap_pool()
+        if pool is not None:
+            corners_a = np.asarray(predicted_boxes)
+            sem_a = np.asarray(sem_cls_probs)
+            obj_a = np.asarray(objectness_probs)
+            pc_a = np.asarray(point_cloud)
+            jobs = [
+                (corners_a[i], sem_a[i], obj_a[i], pc_a[i], config_dict)
+                for i in range(corners_a.shape[0])
+            ]
+            try:
+                return list(pool.map(_parse_one_scan, jobs))
+            except Exception:
+                pass  # pool died (e.g. in a constrained sandbox): serial path
     sem_cls_probs = np.asarray(sem_cls_probs)
     obj_prob = np.asarray(objectness_probs)
     corners = np.asarray(predicted_boxes)

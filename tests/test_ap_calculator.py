@@ -135,3 +135,36 @@ def test_scannet_buckets_alias_seen():
     assert m["AR_fre"] == m["AR_common"] == m["AR_base"] == pytest.approx(1.0)
     assert m["AR_novel"] == pytest.approx(0.0)
     assert m["Prec_fre"] == m["Prec_common"] == m["Prec_base"]
+
+
+def test_parse_predictions_pool_matches_serial(monkeypatch):
+    """The fork-pool scan fan-out returns bitwise-identical results to the
+    serial path (order preserved)."""
+    import types
+
+    from coda_neurips2023_tpu.utils import ap_calculator as apc
+
+    monkeypatch.setenv("CODA_AP_WORKERS", "2")
+    monkeypatch.setattr(apc, "_AP_POOL", None)
+    rng = np.random.default_rng(7)
+    B, NQ, NPTS, NCLS = 3, 16, 512, 5
+    centers = rng.uniform(-2.5, 2.5, (B * NQ, 3)).astype(np.float32)
+    sizes = rng.uniform(0.3, 1.4, (B * NQ, 3)).astype(np.float32)
+    corners = boxes_to_corners(
+        centers, sizes, rng.uniform(0, np.pi, B * NQ).astype(np.float32)
+    ).reshape(B, NQ, 8, 3)
+    sem = rng.dirichlet(np.ones(NCLS), (B, NQ)).astype(np.float32)
+    obj = rng.uniform(0, 1, (B, NQ)).astype(np.float32)
+    pc = rng.uniform(-3, 3, (B, NPTS, 3)).astype(np.float32)
+    cfgd = apc.get_ap_config_dict(
+        conf_thresh=0.05, dataset_config=types.SimpleNamespace(num_semcls=NCLS)
+    )
+    serial = apc.parse_predictions(corners, sem, obj, pc, cfgd, parallel=False)
+    par = apc.parse_predictions(corners, sem, obj, pc, cfgd)
+    assert len(serial) == len(par)
+    for a, b in zip(serial, par):
+        assert len(a) == len(b)
+        for (c1, k1, s1), (c2, k2, s2) in zip(a, b):
+            assert c1 == c2 and s1 == s2 and np.array_equal(k1, k2)
+    # reset so other tests get the default pool decision
+    monkeypatch.setattr(apc, "_AP_POOL", None)

@@ -27,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NC = 2048  # points per chunk (lanes)
 _TM = 8  # centers per grid step (sublanes)
+# per-chunk gate between the two insertion algorithms (see _bq_kernel):
+# sequential first-hit extraction costs ~9 (TM,NC) passes PER STEP while the
+# one-hot contraction costs a fixed ~3.7M element-ops (cumsum + 3 passes over
+# (TM, nsample, NC)); breakeven ~24 steps, 16 leaves margin
+_EXTRACT_T = 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -85,6 +90,40 @@ def _bq_kernel(r2: float, nsample: int, n_real: int,
             cnt + jnp.sum(hit.astype(jnp.int32), 1, keepdims=True),
         )
 
+    def extract_fn(hit, kidx, slots, cnt):
+        """Sequential first-hit extraction: each step pulls the lowest-lane
+        active hit of EVERY non-full center row simultaneously and writes it
+        into slot cnt[row].  Identical semantics to the one-hot contraction
+        (first nsample hits in index order) at ~9 (TM, NC)-passes per
+        extracted hit -- a big win on sparse chunks, which dominate both
+        uniform scenes and late chunks (slots nearly full)."""
+
+        # the remaining-hit mask is carried as int32: Mosaic cannot lay out
+        # i1 vregs in a while-loop carry (scf.yield vpad crash)
+
+        def cond(carry):
+            _, cnt_c, hit_c = carry
+            return jnp.any(jnp.logical_and(hit_c > 0, cnt_c < nsample))
+
+        def body(carry):
+            slots_c, cnt_c, hit_c = carry
+            active = jnp.logical_and(hit_c > 0, cnt_c < nsample)  # (TM, NC)
+            key = jnp.where(active, c_iota, _NC + 1)
+            min_lane = jnp.min(key, axis=1, keepdims=True)  # (TM, 1)
+            has = min_lane < _NC + 1  # (TM, 1)
+            sel = c_iota == min_lane  # (TM, NC)
+            val = jnp.sum(jnp.where(sel, kidx, 0), axis=1, keepdims=True)
+            put = jnp.logical_and(s_iota2 == cnt_c, has)  # (TM, nsample)
+            slots_c = slots_c + jnp.where(put, val, 0)
+            cnt_c = cnt_c + has.astype(jnp.int32)
+            hit_c = jnp.where(sel, 0, hit_c)
+            return slots_c, cnt_c, hit_c
+
+        slots, cnt, _ = jax.lax.while_loop(
+            cond, body, (slots, cnt, hit.astype(jnp.int32))
+        )
+        return slots, cnt
+
     init = (jnp.zeros((tm, nsample), jnp.int32), jnp.zeros((tm, 1), jnp.int32))
     if nchunks == 1:
         # single chunk: unconditional insertion (correct by masking; the cond
@@ -96,13 +135,23 @@ def _bq_kernel(r2: float, nsample: int, n_real: int,
         def chunk_body(ci, carry):
             slots, cnt = carry
             hit, kidx = chunk_parts(ci, slots, cnt)
-            nhits = jnp.sum(hit.astype(jnp.int32))
+            row_hits = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+            nhits = jnp.sum(row_hits)
+            # steps the extraction path would need: per row, hits in this
+            # chunk capped by the free slots left
+            steps = jnp.max(
+                jnp.minimum(row_hits, jnp.maximum(nsample - cnt, 0))
+            )
             # CUDA stops scanning per-center at nsample hits
             # (ball_query_gpu.cu:30); the tile skips once every center is full.
             all_full = jnp.min(cnt) >= nsample
             return jax.lax.cond(
                 jnp.logical_and(nhits > 0, jnp.logical_not(all_full)),
-                lambda: insert_fn(hit, kidx, slots, cnt),
+                lambda: jax.lax.cond(
+                    steps <= _EXTRACT_T,
+                    lambda: extract_fn(hit, kidx, slots, cnt),
+                    lambda: insert_fn(hit, kidx, slots, cnt),
+                ),
                 lambda: (slots, cnt),
             )
 

@@ -13,8 +13,11 @@ formulation (direct coordinate diffs) -- see ops/grouping.py docstring for
 why the XLA fallback can differ at the r^2 boundary.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

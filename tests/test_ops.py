@@ -370,3 +370,31 @@ def test_numpy_twins_match_jnp():
     c_j, r_j = B.angle2class(jnp.asarray(angles), 12)
     np.testing.assert_array_equal(c_np, np.asarray(c_j))
     np.testing.assert_allclose(r_np, np.asarray(r_j), rtol=1e-5, atol=1e-6)
+
+
+class TestBallQueryAdaptive:
+    def test_extract_and_onehot_paths_match_golden(self, monkeypatch):
+        """The per-chunk extraction/one-hot gate (pallas_ball_query._EXTRACT_T)
+        is exercised on BOTH branches (dense cluster -> one-hot, sparse ->
+        extraction) with small chunks, against the oracle."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from coda_neurips2023_tpu.ops import pallas_ball_query as pbq
+        from tests.golden import ball_query_golden
+
+        monkeypatch.setattr(pbq, "_NC", 128)
+        rng = np.random.default_rng(0)
+        B, N, M, K = 2, 512, 24, 16
+        for scale in (0.35, 1.0, 3.0):
+            xyz = rng.uniform(-scale, scale, (B, N, 3)).astype(np.float32)
+            # dense cluster: >16 hits in one chunk forces the one-hot branch
+            xyz[:, 40:120] = xyz[:, 40:41] + rng.normal(
+                0, 0.01, (B, 80, 3)
+            ).astype(np.float32)
+            ctr = xyz[:, :: N // M][:, :M]
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(
+                    pbq.ball_query_pallas(0.4, K, jnp.asarray(xyz), jnp.asarray(ctr))
+                )
+            want = ball_query_golden(0.4, K, xyz, ctr)
+            np.testing.assert_array_equal(got, want)

@@ -30,8 +30,10 @@ _TM = 8  # centers per grid step (sublanes)
 # per-chunk gate between the two insertion algorithms (see _bq_kernel):
 # sequential first-hit extraction costs ~9 (TM,NC) passes PER STEP while the
 # one-hot contraction costs a fixed ~3.7M element-ops (cumsum + 3 passes over
-# (TM, nsample, NC)); breakeven ~24 steps, 16 leaves margin
-_EXTRACT_T = 16
+# (TM, nsample, NC)).  On-chip sweep at the bench shape (B=32 N=20k M=2048
+# k=64, synthetic scenes): T=0 (pure one-hot) 154 ms, T=8 103 ms, T=16
+# 108 ms, pure extraction 109 ms -> 8.
+_EXTRACT_T = 8
 
 
 def _round_up(x: int, m: int) -> int:

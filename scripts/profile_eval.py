@@ -17,9 +17,12 @@ import numpy as np
 
 
 def _drain(out):
-    """Force completion via a host transfer of one leaf --
+    """Force completion via a host transfer of one SMALL leaf --
     jax.block_until_ready can no-op through the axon tunnel for small
-    executables (observed 2026-08; see BASELINE.md methodology note)."""
+    executables, but transferring a BIG leaf measures the tunnel, not the
+    kernel (a 50 MB group output inflates its timing ~6x; see BASELINE.md
+    methodology note).  Every timed fn below therefore reduces its output
+    to a scalar inside the jit."""
     leaf = jax.tree.leaves(out)[-1]
     np.asarray(leaf)
 
@@ -57,26 +60,32 @@ def main():
     xyz = inputs["point_clouds"][..., :3]
 
     fps = jax.jit(lambda x: furthest_point_sample(x, 2048))
-    t_fps = timeit(fps, xyz)
+    fps_s = jax.jit(lambda x: furthest_point_sample(x, 2048).sum())
+    t_fps = timeit(fps_s, xyz)
     inds = fps(xyz)
     centers = jax.jit(gather_points)(xyz, inds)
 
     bq = jax.jit(lambda x, c: ball_query(0.2, 64, x, c))
-    t_bq = timeit(bq, xyz, centers)
+    bq_s = jax.jit(lambda x, c: ball_query(0.2, 64, x, c).sum())
+    t_bq = timeit(bq_s, xyz, centers)
     idx = bq(xyz, centers)
 
-    grp = jax.jit(group_points)  # channels-last (B, N, C)
-    t_grp = timeit(grp, xyz, idx)
+    grp_s = jax.jit(lambda f, i: group_points(f, i).sum())  # channels-last
+    t_grp = timeit(grp_s, xyz, idx)
 
-    q_fps = jax.jit(lambda c: furthest_point_sample(c, 128))
+    q_fps = jax.jit(lambda c: furthest_point_sample(c, 128).sum())
     t_qfps = timeit(q_fps, centers)
 
     enc_only = jax.jit(
-        lambda v, i: model.apply(v, i, train=False, encoder_only=True)
+        lambda v, i: sum(
+            x.sum()
+            for x in jax.tree.leaves(model.apply(v, i, train=False, encoder_only=True))
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
     )
     t_enc = timeit(enc_only, variables, inputs)
 
-    full = jax.jit(lambda v, i: model.apply(v, i, train=False)["box_corners"])
+    full = jax.jit(lambda v, i: model.apply(v, i, train=False)["box_corners"].sum())
     t_full = timeit(full, variables, inputs)
 
     print(f"bs {B}, N {N}")

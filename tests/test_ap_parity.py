@@ -154,3 +154,96 @@ def test_ap_stack_matches_reference():
             )
         missing = set(ref[thr]) - set(ours[thr])
         assert not missing, f"metrics the reference emits but we don't: {missing}"
+
+
+def test_ap_stack_matches_reference_scannet_buckets():
+    """Same live comparison with a scannet-style config (>=21 classes,
+    seen/novel idx bucket protocol, reference ap_calculator.py:1578-1593)."""
+    ncls = 24
+    data = _scenario()
+    rng = np.random.default_rng(5)
+    # widen the class dimension to 24 (re-draw sem probs + labels)
+    B_, NQ_ = data["sem_cls_prob"].shape[:2]
+    data["sem_cls_prob"] = rng.dirichlet(np.ones(ncls) * 0.7, (B_, NQ_)).astype(
+        np.float32
+    )
+    data["gt_box_sem_cls_label"] = rng.integers(
+        0, ncls, data["gt_box_sem_cls_label"].shape
+    ).astype(np.int64)
+    data["gt_box_sem_cls_label"][:, 0] = 0
+
+    seen = list(range(10))
+    novel = list(range(10, ncls))
+
+    saved = install_stubs()
+    try:
+        import importlib
+
+        apc_mod = importlib.import_module("utils.ap_calculator")
+        cfg = types.SimpleNamespace(
+            num_semcls=ncls, seen_idx_list=seen, novel_idx_list=novel
+        )
+        args = types.SimpleNamespace(dataset_name="scannet50_image")
+        calc = apc_mod.APCalculator(
+            dataset_config=cfg, ap_iou_thresh=[0.25, 0.5], exact_eval=True, args=args
+        )
+        t = lambda x: torch.from_numpy(np.asarray(x))
+        calc.step_meter(
+            {"outputs": {
+                "box_corners": t(data["box_corners"]),
+                "sem_cls_prob": t(data["sem_cls_prob"]),
+                "objectness_prob": t(data["objectness_prob"]),
+            }},
+            {
+                "point_clouds": t(data["point_clouds"]),
+                "gt_box_corners": t(data["gt_box_corners"]),
+                "gt_box_sem_cls_label": t(data["gt_box_sem_cls_label"]),
+                "gt_box_present": t(data["gt_box_present"]),
+            },
+        )
+        ref = {
+            thr: {k: float(v) for k, v in ret.items()
+                  if isinstance(v, (int, float, np.floating))}
+            for thr, ret in calc.compute_metrics().items()
+        }
+    finally:
+        restore(saved)
+
+    from coda_neurips2023_tpu.utils.ap_calculator import APCalculator
+
+    cfg = types.SimpleNamespace(
+        num_semcls=ncls, seen_idx_list=seen, novel_idx_list=novel
+    )
+    calc = APCalculator(
+        dataset_config=cfg, ap_iou_thresh=(0.25, 0.5), exact_eval=True,
+        dataset_name="scannet50_image",
+    )
+    calc.step_meter(
+        {"outputs": {
+            "box_corners": data["box_corners"],
+            "sem_cls_prob": data["sem_cls_prob"],
+            "objectness_prob": data["objectness_prob"],
+        }},
+        {
+            "point_clouds": data["point_clouds"],
+            "gt_box_corners": data["gt_box_corners"],
+            "gt_box_sem_cls_label": data["gt_box_sem_cls_label"],
+            "gt_box_present": data["gt_box_present"],
+        },
+    )
+    ours = {
+        thr: {k: float(v) for k, v in ret.items()
+              if isinstance(v, (int, float, np.floating))}
+        for thr, ret in calc.compute_metrics().items()
+    }
+    for thr in ref:
+        assert "mAP_novel" in ref[thr] and "AR_fre" in ref[thr]
+        missing = set(ref[thr]) - set(ours[thr])
+        assert not missing, f"metrics the reference emits but we don't: {missing}"
+        for k in sorted(set(ref[thr]) & set(ours[thr])):
+            r, o = ref[thr][k], ours[thr][k]
+            if np.isnan(r) and np.isnan(o):
+                continue
+            assert o == pytest.approx(r, rel=1e-6, abs=1e-9), (
+                f"iou {thr} metric {k}: ours {o} vs reference {r}"
+            )

@@ -118,8 +118,23 @@ def build_dataset(args):
         )
         n = getattr(args, "synthetic_num_scenes", 256) or 256
         n_eval = max(n // 4, 2)
+        # stage-2 discovery in data-free mode writes/merges real per-scan
+        # pseudo-label files under the checkpoint dir (train split only,
+        # mirroring the reference's noveltrain_pseudo_labels dirs)
+        pseudo_dir = None
+        if (
+            getattr(args, "online_nms_update_save_novel_label_clip_driven_with_cate_confidence", False)
+            and getattr(args, "checkpoint_dir", None)
+        ):
+            import os
+
+            pseudo_dir = os.path.join(
+                args.checkpoint_dir,
+                "synthetic_pseudo_labels_" + getattr(args, "pseudo_setting", "setting0"),
+            )
+            os.makedirs(pseudo_dir, exist_ok=True)
         datasets = {
-            "train": mk(cfg, num_scenes=n, seed=args.seed),
+            "train": mk(cfg, num_scenes=n, seed=args.seed, pseudo_dir=pseudo_dir),
             "test": mk(cfg, num_scenes=n_eval, seed=args.seed + 1),
             "real_test": mk(real_cfg, num_scenes=n_eval, seed=args.seed + 2),
             "real_cmp_test": mk(cmp_cfg, num_scenes=n_eval, seed=args.seed + 3),

@@ -10,6 +10,8 @@ mask.  Used by the unit tests, `bench.py` and `__graft_entry__.py`.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from coda_neurips2023_tpu.ops import box_ops
@@ -35,6 +37,7 @@ class SyntheticDetectionDataset:
         use_angles: bool = True,
         with_images: bool = False,
         image_hw: tuple = (64, 96),
+        pseudo_dir: str | None = None,
     ):
         self.dataset_config = dataset_config
         self.num_scenes = num_scenes
@@ -44,6 +47,11 @@ class SyntheticDetectionDataset:
         self.use_angles = use_angles and dataset_config.num_angle_bin > 1
         self.with_images = with_images
         self.image_hw = image_hw
+        # stage-2 discovery cycle in data-free mode: when set, each scene gets
+        # a REAL per-scan pseudo-label path (the discovery writer appends and
+        # the next epoch's __getitem__ merges, mirroring the sunrgbd
+        # _novel_bbox.npy contract, datasets/sunrgbd.py:141-166)
+        self.pseudo_dir = pseudo_dir
 
     def __len__(self):
         return self.num_scenes
@@ -65,6 +73,26 @@ class SyntheticDetectionDataset:
             angles[:nbox] = rng.uniform(-np.pi, np.pi, nbox).astype(np.float32)
         present[:nbox] = 1.0
 
+        # merge accumulated pseudo boxes (class 0, full extents halved like
+        # the reference load_boxes, …with_novel_cate_confi.py:405-428)
+        n_real = nbox
+        pseudo_box_path = "_"
+        if self.pseudo_dir:
+            pseudo_box_path = os.path.join(
+                self.pseudo_dir, f"synthetic_{idx:06d}_novel_bbox.npy"
+            )
+            if os.path.exists(pseudo_box_path):
+                p = np.load(pseudo_box_path)
+                if p.ndim == 2 and p.shape[0] > 0 and p.shape[1] >= 7:
+                    k = min(p.shape[0], max_obj - nbox)
+                    if k > 0:
+                        centers[nbox : nbox + k] = p[:k, 0:3]
+                        sizes[nbox : nbox + k] = p[:k, 3:6] / 2.0
+                        if self.use_angles:
+                            angles[nbox : nbox + k] = p[:k, 6]
+                        present[nbox : nbox + k] = 1.0
+                        nbox += k
+
         # points: mixture of in-box samples and room clutter
         pts = []
         n_clutter = self.num_points // 2
@@ -79,8 +107,8 @@ class SyntheticDetectionDataset:
             ).astype(np.float32)
         )
         remaining = self.num_points - n_clutter
-        per_box = max(remaining // max(nbox, 1), 1)
-        for j in range(nbox):
+        per_box = max(remaining // max(n_real, 1), 1)
+        for j in range(n_real):
             local = rng.uniform(-0.5, 0.5, (per_box, 3)).astype(np.float32) * sizes[j]
             c, s = np.cos(angles[j]), np.sin(angles[j])
             rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
@@ -153,8 +181,8 @@ class SyntheticDetectionDataset:
                     "image_flip_array": np.float32(1),
                     "flip_length": np.float32(w),
                     "im_name": f"synthetic_{idx:06d}.jpg",
-                    "pseudo_box_path": "_",
-                    "gt_ori_box_num": np.int64(nbox),
+                    "pseudo_box_path": pseudo_box_path,
+                    "gt_ori_box_num": np.int64(n_real),
                 }
             )
         return sample

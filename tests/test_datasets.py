@@ -306,3 +306,63 @@ def test_synthetic_fallback_uses_scannet_configs():
     s = datasets["train"][0]
     assert s["gt_angle_class_label"].max() == 0  # no rotated boxes
     assert s["point_clouds"].shape == (256, 3)
+
+
+def test_synthetic_pseudo_label_cycle(tmp_path):
+    """Data-free stage-2 cycle contract: discovery writes per-scan
+    _novel_bbox.npy (models/discovery.write_pseudo_labels) and the NEXT
+    epoch's __getitem__ merges them as class-0 boxes with halved extents
+    (mirroring datasets/sunrgbd.py:141-166 / reference load_boxes)."""
+    from coda_neurips2023_tpu.datasets.config import SunrgbdAnonymousConfig
+    from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset
+    from coda_neurips2023_tpu.models.discovery import write_pseudo_labels
+
+    cfg = SunrgbdAnonymousConfig()
+    ds = SyntheticDetectionDataset(
+        cfg, num_scenes=2, num_points=256, with_images=True,
+        pseudo_dir=str(tmp_path),
+    )
+    s0 = ds[0]
+    n_real = int(s0["gt_ori_box_num"])
+    assert s0["pseudo_box_path"].endswith("synthetic_000000_novel_bbox.npy")
+    assert int(s0["gt_box_present"].sum()) == n_real
+
+    # discovery writes 2 pseudo rows (10-dim: cx cy cz l w h angle cls
+    # cate_prob objectness) for scan 0
+    rows = np.zeros((1, 3, 10), np.float32)
+    rows[0, 0] = [1.0, 1.0, 1.0, 0.8, 0.6, 0.4, 0.3, 12, 0.9, 0.8]
+    rows[0, 1] = [-1.0, 0.5, 0.5, 0.4, 0.4, 0.4, 0.0, 30, 0.7, 0.6]
+    novel_mask = np.array([[True, True, False]])
+    write_pseudo_labels(
+        rows, novel_mask, [s0["pseudo_box_path"]], np.array([n_real]),
+        accumulate=True, max_num_obj=cfg.max_num_obj,
+    )
+
+    s0b = ds[0]
+    assert int(s0b["gt_box_present"].sum()) == n_real + 2
+    assert int(s0b["gt_ori_box_num"]) == n_real  # real count unchanged
+    # merged rows: class 0, halved extents
+    assert s0b["gt_box_sem_cls_label"][n_real] == 0
+    np.testing.assert_allclose(
+        s0b["gt_box_sizes"][n_real], [0.4, 0.3, 0.2], rtol=1e-6
+    )
+    # scan 1 untouched
+    s1 = ds[1]
+    assert int(s1["gt_box_present"].sum()) == int(s1["gt_ori_box_num"])
+
+
+def test_build_dataset_synthetic_discovery_paths(tmp_path):
+    """The discovery flag + checkpoint_dir give the synthetic TRAIN split
+    real pseudo paths; eval splits stay pathless."""
+    from coda_neurips2023_tpu.datasets import build_dataset
+    from coda_neurips2023_tpu.main import make_args_parser
+
+    args = make_args_parser().parse_args(
+        ["--dataset_name", "synthetic", "--num_points", "256",
+         "--synthetic_num_scenes", "4", "--if_input_image",
+         "--online_nms_update_save_novel_label_clip_driven_with_cate_confidence",
+         "--checkpoint_dir", str(tmp_path)]
+    )
+    datasets, *_ = build_dataset(args)
+    assert datasets["train"][0]["pseudo_box_path"].startswith(str(tmp_path))
+    assert datasets["test"][0]["pseudo_box_path"] == "_"

@@ -1,9 +1,11 @@
 """Stage-1 (CLIP distillation) train-step throughput — two-phase jits.
 
---dtype bf16 runs the CLIP tower in bfloat16 (reference runs CLIP fp16,
-CLIP/clip/model.py:1146 convert_weights); --agreement additionally checks
-that bf16 CLIP-score-driven gates agree with fp32 (the 0.3/0.5 discovery
-thresholds tolerate small numeric drift)."""
+--dtype sets the DETECTOR compute dtype; --clip_dtype sets the CLIP tower
+dtype (default float32, matching the shipped main.py default; the reference
+runs CLIP fp16, CLIP/clip/model.py:1146 convert_weights, but bf16 CLIP
+measured ~1.5x slower here -- see BASELINE.md); --agreement additionally
+checks that bf16 CLIP-score-driven gates agree with fp32 (the 0.3/0.5
+discovery thresholds tolerate small numeric drift)."""
 
 import argparse
 import time
@@ -15,9 +17,13 @@ import numpy as np
 def main():
     cli = argparse.ArgumentParser()
     cli.add_argument("--dtype", default="float32", choices=["float32", "bf16"])
-    cli.add_argument("--clip_fp32", action="store_true",
-                     help="run the CLIP tower in fp32 instead of the shipped "
-                          "bf16 default (main.py --clip_dtype)")
+    cli.add_argument("--clip_dtype", default="float32",
+                     choices=["float32", "bf16"],
+                     help="CLIP tower dtype; float32 is the shipped default "
+                          "(main.py --clip_dtype) and what BASELINE.md's "
+                          "headline stage-1 numbers were measured with -- "
+                          "bf16 CLIP measured ~1.5x SLOWER on v5e, see "
+                          "BASELINE.md")
     cli.add_argument("--agreement", action="store_true")
     cli.add_argument("--decompose", action="store_true",
                      help="time phase A (targets) and phase B (train) separately")
@@ -81,7 +87,7 @@ def main():
         if_accumulate_former_pseudo_labels=False,
         if_keep_box=False,
         compute_dtype=cli_args.dtype,
-        clip_dtype="float32" if cli_args.clip_fp32 else "bf16",
+        clip_dtype=cli_args.clip_dtype,
     )
     args.if_clip_weak_labels = cli_args.agreement
     tx, schedule = build_optimizer(args, None, 600)

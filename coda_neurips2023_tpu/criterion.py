@@ -150,7 +150,7 @@ class SetCriterion:
             "loss_sem_cls_softmax": self.loss_sem_cls_softmax,
             "loss_sem_cls_softmax_skip_none_gt_sample": self.loss_sem_cls_softmax_skip_none_gt_sample,
             "loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness,
-            "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_en_discovery_objectness,
+            "loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness": self.loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness,
             "loss_sem_cls_softmax_discovery_novel_objectness": self.loss_sem_cls_softmax_discovery_novel_objectness,
             "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample": self.loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample,
             "loss_angle": self.loss_angle,
@@ -251,6 +251,31 @@ class SetCriterion:
         has_obj = ((targets["nactual_gt"] + n_disc) > 0).astype(nll.dtype)
         per_sample = jnp.sum(nll, axis=1) * has_obj
         return jnp.sum(per_sample) / (jnp.sum(has_obj) * nll.shape[1] + 1e-32)
+
+    def loss_sem_cls_softmax_skip_none_gt_sample_keep_discovery_objectness(
+        self, outputs, targets, assignments
+    ):
+        """criterion.py:316-350: unlike the `en_` variant, discovered novels
+        are NOT relabeled -- their loss weight is zeroed ("do not supervise
+        novel boxes").  The normalizer is the SUM of surviving loss weights
+        over scenes that have real GT objects (not cnt*nq), and the
+        empty-scene gate looks at `num_obj` ONLY (a scene with discoveries but
+        no GT contributes nothing)."""
+        pred_logits = outputs["sem_cls_logits"]
+        bg = pred_logits.shape[-1] - 1
+        gt_label = _gather_per_prop(
+            targets["gt_box_sem_cls_label"].astype(jnp.int32), assignments["per_prop_gt_inds"]
+        )
+        gt_label = jnp.where(assignments["proposal_matched_mask"] > 0, gt_label, bg)
+        nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)  # (B, nq)
+        disc = targets.get("discovery_novel")
+        w = jnp.ones_like(nll)
+        if disc is not None:
+            w = jnp.where(disc > 0, 0.0, w)
+        has_obj = (targets["nactual_gt"] > 0).astype(nll.dtype)  # (B,)
+        per_sample = jnp.sum(nll * w, axis=1) * has_obj
+        cnt = jnp.sum(jnp.sum(w, axis=1) * has_obj)
+        return jnp.sum(per_sample) / (cnt + 1e-32)
 
     def loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample(
         self, outputs, targets, assignments

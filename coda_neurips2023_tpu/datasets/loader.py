@@ -43,8 +43,10 @@ def collate(samples: list) -> dict:
     return batch
 
 
-# ---- process-worker plumbing (fork start: dataset inherited, no pickling of
-# samples on the way in; batches come back pickled once) ----
+# ---- process-worker plumbing (forkserver start: the dataset is pickled to
+# each worker ONCE at pool creation via the initializer; batches come back
+# pickled once.  forkserver, not fork: the parent has live jax/XLA threads by
+# train time and Py3.12 fork-after-threads can deadlock) ----
 _WORKER_DATASET = None
 
 
@@ -143,8 +145,8 @@ class Loader:
 
     def _iter_processes(self, tasks):
         try:
-            ctx = mp.get_context("fork")
-        except ValueError:  # platform without fork
+            ctx = mp.get_context("forkserver")
+        except ValueError:  # platform without forkserver
             yield from self._iter_threads(tasks)
             return
         args = [
@@ -153,8 +155,15 @@ class Loader:
         ]
         from collections import deque
 
-        with ctx.Pool(self.num_workers, initializer=_proc_init,
-                      initargs=(self.dataset,)) as pool:
+        try:
+            pool_cm = ctx.Pool(self.num_workers, initializer=_proc_init,
+                               initargs=(self.dataset,))
+        except Exception:
+            # dataset not picklable to the forkserver: degrade to threads
+            # (parallelism for the GIL-releasing numpy/cv2 ops is preserved)
+            yield from self._iter_threads(tasks)
+            return
+        with pool_cm as pool:
             # bounded pipeline: at most `prefetch` batches in flight so a
             # slow consumer (e.g. the first train-step compile) cannot pile
             # up finished batches in host RAM (Pool.imap has no backpressure)

@@ -6,11 +6,12 @@ Functional equivalent of the reference's vendored SimpleTokenizer
 lower-cased, whitespace-normalized string, wrapped with <|startoftext|> /
 <|endoftext|> and padded to a 77-token context.
 
-The BPE merge table is DATA, not code: pass the path of the standard
-`bpe_simple_vocab_16e6.txt.gz` asset (same file the reference vendors) via
-`bpe_path` or the CODA_CLIP_BPE env var.  Without it, `tokenize` falls back
-to a hash-bucket tokenizer (deterministic, stable) so the data-free pipeline
-still runs -- real CLIP text embeddings obviously need the real table.
+The BPE merge table is DATA, not code: the standard
+`bpe_simple_vocab_16e6.txt.gz` asset (same file the reference vendors) ships
+in datasets/assets/ and is the default; `bpe_path` or the CODA_CLIP_BPE env
+var override it.  If no table can be found at all, `tokenize` falls back to
+a hash-bucket tokenizer (deterministic, stable) so a stripped install still
+runs -- real CLIP text embeddings obviously need the real table.
 """
 
 from __future__ import annotations
@@ -65,12 +66,21 @@ def whitespace_clean(text):
     return re.sub(r"\s+", " ", text).strip()
 
 
+PACKAGED_BPE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "datasets", "assets", "bpe_simple_vocab_16e6.txt.gz",
+)
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path: Optional[str] = None):
-        bpe_path = bpe_path or os.environ.get("CODA_CLIP_BPE")
+        bpe_path = (
+            bpe_path or os.environ.get("CODA_CLIP_BPE") or PACKAGED_BPE_PATH
+        )
         if not bpe_path or not os.path.exists(bpe_path):
             raise FileNotFoundError(
-                "BPE vocab not found; pass bpe_path or set CODA_CLIP_BPE"
+                "BPE vocab not found; pass bpe_path or set CODA_CLIP_BPE "
+                f"(packaged copy expected at {PACKAGED_BPE_PATH})"
             )
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}

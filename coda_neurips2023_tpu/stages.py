@@ -308,7 +308,17 @@ class StageContext:
             # --if_only_novel_prompt (reference model_3detr.py:1985, 2846):
             # zero-shot classify against ONLY the novel slice of the test
             # vocabulary (SUN RGB-D v1 rows 10:37); sem_cls_prob narrows to
-            # 27 classes -- an analysis mode, caller arranges the eval config
+            # 27 classes -- an analysis mode, caller arranges the eval config.
+            # The reference slices the FULL vocab dict and hardcodes 27
+            # output classes; with a test bank truncated below 37 rows the
+            # slice would silently shrink, so fail loudly instead.
+            if text.shape[0] < 37:
+                raise ValueError(
+                    "--if_only_novel_prompt needs a test text bank with >= 37 "
+                    f"rows (the novel slice is vocab rows 10:37); got "
+                    f"{text.shape[0]} -- raise --test_range_max to cover the "
+                    "full vocabulary (reference model_3detr.py:1985)"
+                )
             text = text[10:37]
         text_device = jax.device_put(text)
 

@@ -15,16 +15,21 @@ Bucketed metrics (compute_metrics, ap_calculator.py:1578-1593):
   dataset config.
 
 Speed note: the reference tests point-in-box with scipy Delaunay per box
-(box_util.py:20-33, quadratic python loops).  Boxes are convex
-parallelepipeds, so we use an exact vectorized half-space test over all
-(box, point) pairs at once -- identical membership up to float tolerance.
+(box_util.py:20-33, quadratic python loops).  We keep the Delaunay test for
+bit-faithfulness (its boundary tolerance flips the 5-point gate on real
+data) and instead parallelize parse_predictions scan-wise over a process
+pool (_ap_pool).
 """
 
 from __future__ import annotations
 
 from collections import OrderedDict
 
+import warnings
+from concurrent.futures.process import BrokenProcessPool
+
 import numpy as np
+from scipy.spatial import Delaunay, QhullError
 
 from coda_neurips2023_tpu.utils.eval_det import eval_det, get_iou_obb
 from coda_neurips2023_tpu.utils.nms import (
@@ -53,16 +58,14 @@ def points_in_box_mask(pc: np.ndarray, box3d: np.ndarray) -> np.ndarray:
     itself would crash.
     """
     try:
-        from scipy.spatial import Delaunay
-
         # (measured: the per-box cost is dominated by the Delaunay
         # CONSTRUCTION ~0.35 ms, not find_simplex over 20k points ~0.15 ms;
         # an AABB prefilter was net-negative.  The reference pays the same
         # construction per box -- scan-level parallelism in
         # parse_predictions is the lever.)
         return Delaunay(box3d).find_simplex(pc) >= 0
-    except Exception:
-        pass
+    except QhullError:
+        pass  # degenerate (coplanar) hull: reference would crash here
     # degenerate-hull fallback: exact membership in the parallelepiped
     # spanned by edges 0->1, 0->3, 0->4 (get_3d_box_batch corner layout)
     origin = box3d[0]
@@ -110,10 +113,13 @@ _AP_POOL = None
 
 
 def _ap_pool():
-    """Lazily-created fork pool for per-scan parse_predictions jobs.
+    """Lazily-created forkserver pool for per-scan parse_predictions jobs.
     CODA_AP_WORKERS=0 disables (serial); default 8.  Same design as the
-    fork-based data workers (datasets/loader.py): scans are independent, the
-    pool maps them in order, results are bit-identical to the serial path."""
+    process data workers (datasets/loader.py): scans are independent, the
+    pool maps them in order, results are bit-identical to the serial path.
+    forkserver (not fork): by the time eval runs, jax/XLA threads exist in
+    the parent and Py3.12 fork-after-threads can deadlock; forkserver
+    workers start from a clean early-spawned server process instead."""
     global _AP_POOL
     if _AP_POOL is None:
         import os
@@ -130,7 +136,7 @@ def _ap_pool():
                 from concurrent.futures import ProcessPoolExecutor
 
                 _AP_POOL = ProcessPoolExecutor(
-                    max_workers=n, mp_context=mp.get_context("fork")
+                    max_workers=n, mp_context=mp.get_context("forkserver")
                 )
             except Exception:
                 _AP_POOL = False
@@ -171,8 +177,17 @@ def parse_predictions(
             ]
             try:
                 return list(pool.map(_parse_one_scan, jobs))
-            except Exception:
-                pass  # pool died (e.g. in a constrained sandbox): serial path
+            except BrokenProcessPool:
+                # the POOL died (constrained sandbox, OOM-killed worker):
+                # disable it and recompute serially -- but a genuine bug
+                # raised inside a worker must propagate, not be swallowed
+                global _AP_POOL
+                _AP_POOL = False
+                warnings.warn(
+                    "AP worker pool broke; parse_predictions falls back to "
+                    "serial for the rest of this run",
+                    RuntimeWarning,
+                )
     sem_cls_probs = np.asarray(sem_cls_probs)
     obj_prob = np.asarray(objectness_probs)
     corners = np.asarray(predicted_boxes)

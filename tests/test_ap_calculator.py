@@ -138,12 +138,20 @@ def test_scannet_buckets_alias_seen():
 
 
 def test_parse_predictions_pool_matches_serial(monkeypatch):
-    """The fork-pool scan fan-out returns bitwise-identical results to the
-    serial path (order preserved)."""
+    """The forkserver-pool scan fan-out returns bitwise-identical results to
+    the serial path (order preserved).  jax is deliberately initialized in
+    the parent FIRST: the pool must be safe to create after XLA threads
+    exist (the fork-after-threads deadlock class this pool is hardened
+    against)."""
     import types
+
+    import jax
+    import jax.numpy as jnp
 
     from coda_neurips2023_tpu.utils import ap_calculator as apc
 
+    assert float(jnp.asarray(1.0) + 1.0) == 2.0  # live backend in the parent
+    assert jax.devices()
     monkeypatch.setenv("CODA_AP_WORKERS", "2")
     monkeypatch.setattr(apc, "_AP_POOL", None)
     rng = np.random.default_rng(7)

@@ -178,7 +178,11 @@ def _our_loss(args, outs, targets, extras):
 
     criterion = build_criterion(args, SunrgbdAnonymousConfig())
     outs_j = {k: jnp.asarray(v) for k, v in outs.items()}
-    tgt = {k: jnp.asarray(v) for k, v in targets.items() if k.startswith("gt_")}
+    tgt = {
+        k: jnp.asarray(v)
+        for k, v in targets.items()
+        if k.startswith("gt_") or k == "discovery_novel"
+    }
     tgt["gt_text_correlation_embedding"] = jnp.asarray(
         extras["gt_text_correlation_embedding"]
     )
@@ -219,3 +223,40 @@ def test_criterion_matches_reference_at_shipped_weights(shared, stage):
         )
         checked += 1
     assert checked >= 8, f"too few shared loss keys compared: {checked}"
+
+
+@pytest.mark.parametrize("variant", ["keep", "en"])
+def test_discovery_objectness_variants_match_reference(shared, variant):
+    """The `en_` and `keep_` discovery-objectness CE variants differ materially
+    in the reference (relabel-to-0 + cnt*nq normalizer vs zeroed loss weights +
+    weight-sum normalizer, /root/reference/criterion.py:281-348); run each one
+    against the reference on a batch with discovery-marked proposals AND one
+    scene with zero GT boxes (the two variants gate that scene differently)."""
+    outs, targets, extras = shared
+    args = _make_args(2)
+    for k in vars(args):
+        if "discovery_objectness_weight" in k:
+            setattr(args, k, 0.0)
+    setattr(
+        args,
+        f"loss_sem_cls_softmax_skip_none_gt_sample_{variant}_discovery_objectness_weight",
+        1.0,
+    )
+    args.loss_sem_cls_softmax_skip_none_gt_sample_weight = 0.0
+
+    rng = np.random.default_rng(11)
+    targets = {k: np.array(v, copy=True) for k, v in targets.items()}
+    targets["discovery_novel"] = (rng.uniform(size=(B, NQ)) > 0.6).astype(np.int64)
+    # scene 0: discoveries present but NO ground-truth objects -- the keep_
+    # variant must drop it (num_obj gate), the en_ variant must count it
+    targets["gt_box_present"][0] = 0  # nactual_gt is derived from this on both sides
+    assert targets["discovery_novel"][0].sum() > 0
+
+    ref_total, ref_dict = _ref_loss(args, outs, targets, extras)
+    our_total, our_dict = _our_loss(args, outs, targets, extras)
+    key = f"loss_sem_cls_softmax_skip_none_gt_sample_{variant}_discovery_objectness"
+    assert key in ref_dict and key in our_dict
+    assert our_dict[key] == pytest.approx(ref_dict[key], rel=2e-4, abs=2e-5), (
+        f"{variant}: ours {our_dict[key]} vs reference {ref_dict[key]}"
+    )
+    assert our_total == pytest.approx(ref_total, rel=2e-4, abs=2e-5)

@@ -199,10 +199,14 @@ def test_eval_pads_and_meters_every_scan():
 
 
 def test_process_loader_matches_serial():
-    """Process-worker loader (fork) yields the same deterministic batches as
-    the serial path: batches are built under per-task seeds, so worker
-    scheduling cannot change results."""
+    """Process-worker loader (forkserver) yields the same deterministic
+    batches as the serial path: batches are built under per-task seeds, so
+    worker scheduling cannot change results.  jax is initialized in the
+    parent first -- pool creation must be safe after XLA threads exist."""
+    import jax.numpy as jnp
     import numpy as np
+
+    assert float(jnp.asarray(1.0) + 1.0) == 2.0  # live backend in the parent
 
     from coda_neurips2023_tpu.datasets.config import SunrgbdAnonymousConfig
     from coda_neurips2023_tpu.datasets.loader import make_loader

@@ -74,3 +74,37 @@ def test_clip_prompt_encode_runs():
     # prompts must change the embedding vs plain encode_text
     plain = model.apply(variables, tokens, method=model.encode_text)
     assert not np.allclose(np.asarray(out), np.asarray(plain))
+
+
+def test_packaged_bpe_table_is_default_and_produces_canonical_ids():
+    """The real BPE merge table ships in datasets/assets/ and is the DEFAULT
+    tokenizer path (no env var / flag needed).  Golden ids are the canonical
+    CLIP tokenizations (verified against the upstream SimpleTokenizer with
+    the same bpe_simple_vocab_16e6.txt.gz the reference vendors,
+    /root/reference/CLIP/clip/simple_tokenizer.py + clip.py:279)."""
+    import os
+
+    from coda_neurips2023_tpu.models.tokenizer import (
+        PACKAGED_BPE_PATH,
+        SimpleTokenizer,
+        tokenize,
+    )
+
+    assert os.path.exists(PACKAGED_BPE_PATH)
+    SimpleTokenizer()  # resolves the packaged copy without any configuration
+
+    goldens = {
+        "a photo of a chair in the scene":
+            [49406, 320, 1125, 539, 320, 4269, 530, 518, 3562, 49407],
+        "a photo of a night stand in the scene":
+            [49406, 320, 1125, 539, 320, 930, 2087, 530, 518, 3562, 49407],
+        "table": [49406, 2175, 49407],
+        # case-folding + whitespace normalization (whitespace_clean/lower)
+        "A PHOTO of  a   Bathtub":
+            [49406, 320, 1125, 539, 320, 39942, 49407],
+    }
+    for text, ids in goldens.items():
+        got = tokenize(text)[0]
+        assert got.shape == (77,)
+        np.testing.assert_array_equal(got[: len(ids)], ids)
+        assert np.all(got[len(ids):] == 0)

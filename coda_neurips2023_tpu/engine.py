@@ -243,6 +243,23 @@ def train_one_epoch(
     iter_time = SmoothedValue(window_size=10)
     loss_avg = SmoothedValue(window_size=10)
     metrics_out = {}
+    # losses awaiting the batched finiteness check: syncing float(loss) every
+    # step would block dispatch on the full device step latency (plus the
+    # host->device tunnel), idling the chip during host batch prep.  Keeping
+    # the loss on device and draining the window every `log_every` iterations
+    # keeps up to log_every steps in flight; the reference's per-step abort
+    # (engine.py:155-157) still happens, at most log_every-1 steps late.
+    pending_losses = []
+
+    def _drain_pending():
+        vals = [float(x) for x in pending_losses]
+        pending_losses.clear()
+        for v in vals:
+            if not np.isfinite(v):
+                print("Loss in not finite. Training will be stopped.")
+                sys.exit(1)
+            loss_avg.update(v)
+
     for it, host_batch in enumerate(batches):
         if profile_dir is not None and it == 2:
             jax.profiler.start_trace(profile_dir)
@@ -270,14 +287,11 @@ def train_one_epoch(
                 discovery_fn(last_outputs, host_batch)
         else:
             state, metrics = result
-        loss = float(metrics["loss"])
-        if not np.isfinite(loss):
-            print("Loss in not finite. Training will be stopped.")
-            sys.exit(1)
+        pending_losses.append(metrics["loss"])
         iter_time.update(time.perf_counter() - t0)
-        loss_avg.update(loss)
         metrics_out = metrics
         if it % log_every == 0:
+            _drain_pending()
             # reference engine.py:210-217 per-log_every status line
             mem = ""
             try:
@@ -296,6 +310,7 @@ def train_one_epoch(
                     int(state.step),
                     prefix="Train_details/",
                 )
+    _drain_pending()  # epoch tail: abort semantics cover every step
     return state, metrics_out
 
 

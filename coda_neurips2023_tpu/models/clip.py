@@ -41,12 +41,16 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        # LayerNorms follow the tower dtype: with bf16 params+activations the
+        # whole block stays one dtype (no convert/relayout chains -- the
+        # round-2 bf16 regression); flax still computes the LN statistics in
+        # f32 internally (force_float32_reductions).
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.width, dtype=self.dtype, name="attn"
         )(inputs_q=y, inputs_k=y, inputs_v=y, mask=attn_mask)
         x = x + y
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(y)
         y = quick_gelu(y)
         y = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
@@ -102,11 +106,11 @@ class VisionTransformer(nn.Module):
             (n_tok, self.width),
         )
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = Transformer(
             self.width, self.layers, self.heads, self.dtype, name="transformer"
         )(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj",
             nn.initializers.normal(self.width ** -0.5),
@@ -190,7 +194,7 @@ class TextTransformer(nn.Module):
         x = Transformer(
             self.width, self.layers, self.heads, self.dtype, name="transformer"
         )(x.astype(self.dtype), attn_mask=causal)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         eot = jnp.argmax(text_tokens, axis=-1)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
         proj = self.param(

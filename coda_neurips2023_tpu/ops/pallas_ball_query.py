@@ -19,6 +19,7 @@ chunks, keeping per-center running hit counts and slot buffers in VMEM:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,12 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NC = 2048  # points per chunk (lanes)
 _TM = 8  # centers per grid step (sublanes)
 # per-chunk gate between the two insertion algorithms (see _bq_kernel):
-# sequential first-hit extraction costs ~9 (TM,NC) passes PER STEP while the
-# one-hot contraction costs a fixed ~3.7M element-ops (cumsum + 3 passes over
-# (TM, nsample, NC)).  On-chip sweep at the bench shape (B=32 N=20k M=2048
-# k=64, synthetic scenes): T=0 (pure one-hot) 154 ms, T=8 103 ms, T=16
-# 108 ms, pure extraction 109 ms -> 8.
-_EXTRACT_T = 8
+# sequential first-hit extraction costs ~3 (TM,NC) passes PER STEP (round-2
+# version: ~9) while the one-hot contraction costs a fixed ~3.7M element-ops
+# (cumsum + 3 passes over (TM, nsample, NC)).  Round-2 on-chip sweep at the
+# bench shape (B=32 N=20k M=2048 k=64, synthetic scenes) with the 9-pass
+# loop: T=0 (pure one-hot) 154 ms, T=8 103 ms, T=16 108 ms, pure extraction
+# 109 ms; round-3 re-sweep with the 3-pass loop: see BASELINE.md.
+# CODA_BQ_EXTRACT_T overrides for sweeps.
+_EXTRACT_T = int(os.environ.get("CODA_BQ_EXTRACT_T", "16"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,34 +99,39 @@ def _bq_kernel(r2: float, nsample: int, n_real: int,
         """Sequential first-hit extraction: each step pulls the lowest-lane
         active hit of EVERY non-full center row simultaneously and writes it
         into slot cnt[row].  Identical semantics to the one-hot contraction
-        (first nsample hits in index order) at ~9 (TM, NC)-passes per
-        extracted hit -- a big win on sparse chunks, which dominate both
-        uniform scenes and late chunks (slots nearly full)."""
+        (first nsample hits in index order).
 
-        # the remaining-hit mask is carried as int32: Mosaic cannot lay out
-        # i1 vregs in a while-loop carry (scf.yield vpad crash)
+        ~3 (TM, NC)-passes per extracted hit (round 2 shipped ~9):
+          * the remaining-hit state is carried as the lane-index KEY itself
+            (i32 -- Mosaic cannot carry i1 vregs; extracted/full lanes are
+            set to the _NC sentinel), so `active`/`key` need no rebuild;
+          * the extracted point index is just chunk_offset + min_lane -- the
+            (TM, NC) one-hot select+reduce that gathered kidx is gone;
+          * per step: cond min-reduce (1), row min-reduce (1), key update (1)
+            plus (TM, nsample)-small slot writes."""
+        off_row = kidx[:, 0:1]  # kidx = chunk_offset + c_iota
+
+        key0 = jnp.where(jnp.logical_and(hit, cnt < nsample), c_iota, _NC)
 
         def cond(carry):
-            _, cnt_c, hit_c = carry
-            return jnp.any(jnp.logical_and(hit_c > 0, cnt_c < nsample))
+            _, _, key = carry
+            return jnp.min(key) < _NC
 
         def body(carry):
-            slots_c, cnt_c, hit_c = carry
-            active = jnp.logical_and(hit_c > 0, cnt_c < nsample)  # (TM, NC)
-            key = jnp.where(active, c_iota, _NC + 1)
+            slots_c, cnt_c, key = carry
             min_lane = jnp.min(key, axis=1, keepdims=True)  # (TM, 1)
-            has = min_lane < _NC + 1  # (TM, 1)
-            sel = c_iota == min_lane  # (TM, NC)
-            val = jnp.sum(jnp.where(sel, kidx, 0), axis=1, keepdims=True)
+            has = min_lane < _NC  # (TM, 1)
+            val = off_row + min_lane  # the hit's point index (masked by put)
             put = jnp.logical_and(s_iota2 == cnt_c, has)  # (TM, nsample)
             slots_c = slots_c + jnp.where(put, val, 0)
             cnt_c = cnt_c + has.astype(jnp.int32)
-            hit_c = jnp.where(sel, 0, hit_c)
-            return slots_c, cnt_c, hit_c
+            full_now = cnt_c >= nsample  # (TM, 1)
+            key = jnp.where(
+                jnp.logical_or(c_iota == min_lane, full_now), _NC, key
+            )
+            return slots_c, cnt_c, key
 
-        slots, cnt, _ = jax.lax.while_loop(
-            cond, body, (slots, cnt, hit.astype(jnp.int32))
-        )
+        slots, cnt, _ = jax.lax.while_loop(cond, body, (slots, cnt, key0))
         return slots, cnt
 
     init = (jnp.zeros((tm, nsample), jnp.int32), jnp.zeros((tm, 1), jnp.int32))

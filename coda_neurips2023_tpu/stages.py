@@ -70,6 +70,18 @@ class StageContext:
             self.clip_variables = self.clip_model.init(
                 jax.random.PRNGKey(0), imgs, toks
             )
+        if clip_tower_dtype(args) == jnp.bfloat16:
+            # PURE-bf16 frozen tower: casting the params too (not just the
+            # activations) removes the f32-LN convert/relayout chains that
+            # made activations-only bf16 SLOWER in round 2 (BASELINE.md);
+            # LN statistics stay f32 inside flax.  The tower is frozen, so
+            # no optimizer-state precision concerns.
+            self.clip_variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                self.clip_variables,
+            )
 
         # real vocabularies (reference model_3detr.py:286-360): the LVIS-1204
         # superset when --if_clip_superset, the OV-3DETR cmp list always; the

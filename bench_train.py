@@ -82,6 +82,18 @@ def main():
         float(m["loss"])
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {dt*1000:.0f} ms/step, {B/dt:.1f} scenes/s")
+        # per-iteration host sync (the reference engine's every-step loss
+        # check, engine.py:152-157; our train_one_epoch batches the finite
+        # check every log_every steps instead -- this quantifies the gain)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, rng)
+            float(m["loss"])
+        dt_sync = (time.perf_counter() - t0) / iters
+        print(
+            f"{name} (per-step sync): {dt_sync*1000:.0f} ms/step "
+            f"(batched finite-check gain {100*(dt_sync-dt)/dt_sync:.1f}%)"
+        )
         return dt
 
     base_args = types.SimpleNamespace(**vars(args))

@@ -19,6 +19,8 @@ shapes static (77 text tokens, 197 image tokens).
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -29,9 +31,86 @@ import numpy as np
 IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
+# Fused Pallas attention for the (mask-free) ViT tower: "auto" = on when the
+# backend is TPU, "1"/"0" force.  The text tower (causal mask) always uses the
+# stock flax path.  A/B and rationale: BASELINE.md (CLIP tower roofline).
+_FUSED_ATTN = os.environ.get("CODA_CLIP_FUSED_ATTN", "auto")
+
+
+def _use_fused_attn() -> bool:
+    if _FUSED_ATTN == "1":
+        return True
+    if _FUSED_ATTN == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+class _ProjParams(nn.Module):
+    """Parameter holder shaped exactly like one flax-MHA projection
+    ({kernel, bias}); exists so FusedAttention's param tree is
+    indistinguishable from nn.MultiHeadDotProductAttention's (checkpoints
+    and the OpenAI converter need no changes).  `fan_axes` mirrors flax
+    DenseGeneral's lecun_normal fan computation ((in,), (heads, head_dim)
+    for q/k/v; ((heads, head_dim), (out,)) for the out projection)."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+    fan_in_axes: tuple = (0,)
+
+    @nn.compact
+    def __call__(self):
+        n = len(self.kernel_shape)
+        out_axes = tuple(i for i in range(n) if i not in self.fan_in_axes)
+        init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal",
+            in_axis=self.fan_in_axes, out_axis=out_axes,
+        )
+        kernel = self.param("kernel", init, self.kernel_shape)
+        bias = self.param("bias", nn.initializers.zeros_init(), self.bias_shape)
+        return kernel, bias
+
+
+class FusedAttention(nn.Module):
+    """Self-attention with the Pallas fused kernel (mask-free ViT path).
+
+    Math identical to flax MultiHeadDotProductAttention; the difference is
+    layout: q/k/v are projected straight into (B, H, S, D) with
+    einsum('bsw,whd->bhsd'), so the head-major layout the kernel wants rides
+    the projection matmul's output for free -- an explicit (B,S,H,D) ->
+    (B,H,S,D) HBM transpose measured ~1 ms/tensor/layer at the CLIP shape
+    (BASELINE.md round-3)."""
+
+    heads: int
+    width: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_vit_attention import vit_attention
+
+        h = self.heads
+        d = self.width // h
+        w_in = x.shape[-1]
+
+        def proj(name):
+            kernel, bias = _ProjParams((w_in, h, d), (h, d), name=name)()
+            y = jnp.einsum(
+                "bsw,whd->bhsd", x, kernel.astype(self.dtype)
+            ) + bias.astype(self.dtype)[None, :, None, :]
+            return y
+
+        q, k, v = proj("query"), proj("key"), proj("value")
+        out = vit_attention(q, k, v)  # (B, H, S, D)
+        kernel, bias = _ProjParams(
+            (h, d, self.width), (self.width,), fan_in_axes=(0, 1), name="out"
+        )()
+        return jnp.einsum(
+            "bhsd,hdw->bsw", out, kernel.astype(self.dtype)
+        ) + bias.astype(self.dtype)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -46,9 +125,20 @@ class ResidualAttentionBlock(nn.Module):
         # round-2 bf16 regression); flax still computes the LN statistics in
         # f32 internally (force_float32_reductions).
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.width, dtype=self.dtype, name="attn"
-        )(inputs_q=y, inputs_k=y, inputs_v=y, mask=attn_mask)
+        # Fused path is bf16-only: the f32 kernel's VMEM footprint exceeds the
+        # 16 MB scoped limit (measured 16.38M at the ViT-B/16 shape), and f32
+        # fused measured SLOWER than stock anyway (101 vs 93 ms/256 crops --
+        # BASELINE.md round-3).
+        if attn_mask is None and self.dtype == jnp.bfloat16 and _use_fused_attn():
+            y = FusedAttention(
+                heads=self.heads, width=self.width, dtype=self.dtype,
+                name="attn",
+            )(y)
+        else:
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, qkv_features=self.width,
+                dtype=self.dtype, name="attn",
+            )(inputs_q=y, inputs_k=y, inputs_v=y, mask=attn_mask)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(y)

@@ -36,7 +36,7 @@ _TM = 8  # centers per grid step (sublanes)
 # loop: T=0 (pure one-hot) 154 ms, T=8 103 ms, T=16 108 ms, pure extraction
 # 109 ms; round-3 re-sweep with the 3-pass loop: see BASELINE.md.
 # CODA_BQ_EXTRACT_T overrides for sweeps.
-_EXTRACT_T = int(os.environ.get("CODA_BQ_EXTRACT_T", "16"))
+_EXTRACT_T = int(os.environ.get("CODA_BQ_EXTRACT_T", "8"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,26 +112,31 @@ def _bq_kernel(r2: float, nsample: int, n_real: int,
         off_row = kidx[:, 0:1]  # kidx = chunk_offset + c_iota
 
         key0 = jnp.where(jnp.logical_and(hit, cnt < nsample), c_iota, _NC)
+        # per-row count of lanes still in key0: the loop condition tests this
+        # tiny (TM, 1) carry instead of re-reducing the (TM, NC) state
+        remaining0 = jnp.sum((key0 < _NC).astype(jnp.int32), axis=1, keepdims=True)
 
         def cond(carry):
-            _, _, key = carry
-            return jnp.min(key) < _NC
+            _, cnt_c, _, remaining = carry
+            return jnp.any(
+                jnp.logical_and(remaining > 0, cnt_c < nsample)
+            )
 
         def body(carry):
-            slots_c, cnt_c, key = carry
+            slots_c, cnt_c, key, remaining = carry
             min_lane = jnp.min(key, axis=1, keepdims=True)  # (TM, 1)
-            has = min_lane < _NC  # (TM, 1)
+            act = jnp.logical_and(min_lane < _NC, cnt_c < nsample)  # (TM, 1)
             val = off_row + min_lane  # the hit's point index (masked by put)
-            put = jnp.logical_and(s_iota2 == cnt_c, has)  # (TM, nsample)
+            put = jnp.logical_and(s_iota2 == cnt_c, act)  # (TM, nsample)
             slots_c = slots_c + jnp.where(put, val, 0)
-            cnt_c = cnt_c + has.astype(jnp.int32)
-            full_now = cnt_c >= nsample  # (TM, 1)
-            key = jnp.where(
-                jnp.logical_or(c_iota == min_lane, full_now), _NC, key
-            )
-            return slots_c, cnt_c, key
+            cnt_c = cnt_c + act.astype(jnp.int32)
+            key = jnp.where(c_iota == min_lane, _NC, key)
+            remaining = remaining - (min_lane < _NC).astype(jnp.int32)
+            return slots_c, cnt_c, key, remaining
 
-        slots, cnt, _ = jax.lax.while_loop(cond, body, (slots, cnt, key0))
+        slots, cnt, _, _ = jax.lax.while_loop(
+            cond, body, (slots, cnt, key0, remaining0)
+        )
         return slots, cnt
 
     init = (jnp.zeros((tm, nsample), jnp.int32), jnp.zeros((tm, 1), jnp.int32))

@@ -195,7 +195,7 @@ def _host_discovery(
                                   antialias=True)
                 crops.append(np.clip(t[0].permute(1, 2, 0).numpy(), 0, 255))
         crops = np.stack(crops)
-        emb = np.asarray(clip_fn(preprocess_crops(jnp.asarray(crops))), np.float32)
+        emb = np.array(clip_fn(preprocess_crops(jnp.asarray(crops))), np.float32)
         emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32
         logits = emb @ np.asarray(bank).T * logit_scale
         probs = np.exp(logits - logits.max(-1, keepdims=True))

@@ -151,3 +151,99 @@ def test_attention_mapping_matches_torch_semantics():
     mha = nn.MultiHeadDotProductAttention(num_heads=heads, qkv_features=width)
     got = mha.apply({"params": p}, inputs_q=jnp.asarray(x), inputs_k=jnp.asarray(x), inputs_v=jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("dtype,rtol", [(np.float32, 2e-5), ("bfloat16", 2e-2)])
+def test_fused_vit_attention_matches_flax(dtype, rtol):
+    """Pallas fused ViT attention (interpret mode, the TPU fast path for the
+    CLIP image tower) == flax dot_product_attention, at the real ragged
+    197-token length (Mosaic tile-padding path exercised)."""
+    import flax.linen as nn
+
+    from coda_neurips2023_tpu.ops import pallas_vit_attention as pva
+
+    rng = np.random.default_rng(2)
+    b, s, h, d = 3, 197, 4, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.dtype(dtype))
+        for _ in range(3)
+    )
+    want = np.asarray(nn.dot_product_attention(q, k, v), np.float32)
+    old = pva._INTERPRET
+    pva._INTERPRET = True
+    try:
+        got = np.asarray(pva.fused_attention_fn(q, k, v), np.float32)
+    finally:
+        pva._INTERPRET = old
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol)
+
+
+def test_fused_attention_module_matches_flax_mha():
+    """clip.FusedAttention (einsum projections + Pallas kernel) produces the
+    SAME param tree as nn.MultiHeadDotProductAttention and, applied with the
+    flax-MHA-initialized params, the same output — the guarantee that lets
+    checkpoints/converter stay attention-impl-agnostic."""
+    import flax.linen as nn
+
+    from coda_neurips2023_tpu.models import clip as clip_mod
+    from coda_neurips2023_tpu.ops import pallas_vit_attention as pva
+
+    width, heads, s, b = 64, 4, 13, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, s, width)), jnp.float32)
+
+    mha = nn.MultiHeadDotProductAttention(num_heads=heads, qkv_features=width)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)["params"]
+    want = np.asarray(mha.apply({"params": params}, x, x, x))
+
+    fused = clip_mod.FusedAttention(heads=heads, width=width)
+    old = pva._INTERPRET
+    pva._INTERPRET = True
+    try:
+        fused_tree = fused.init(jax.random.PRNGKey(0), x)["params"]
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        pva._INTERPRET = old
+    flat_a = {
+        jax.tree_util.keystr(p): np.shape(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    flat_b = {
+        jax.tree_util.keystr(p): np.shape(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(fused_tree)[0]
+    }
+    assert flat_a == flat_b
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_vit_attention_custom_vjp():
+    """The custom VJP (plain-XLA attention pullback; exists so the fused
+    stage-1 value_and_grad trace never jvp-expands the pallas kernel) agrees
+    with autodiff through the reference jnp attention."""
+    import flax.linen as nn
+
+    from coda_neurips2023_tpu.ops import pallas_vit_attention as pva
+
+    rng = np.random.default_rng(4)
+    b, h, s, d = 2, 3, 11, 8
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(pva._attention_reference(q, k, v)))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(jnp.sin(pva.vit_attention(q, k, v)))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    old = pva._INTERPRET
+    pva._INTERPRET = True
+    try:
+        got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        pva._INTERPRET = old
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)

@@ -30,9 +30,23 @@ against an oracle using its own distance formulation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Pallas two-level gather for group_points on TPU (ops/pallas_group_gather):
+# bit-exact, measured 14.9 vs 30.7 ms for XLA's gather at the eval bench
+# shape (B=32, N=20k, M=2048, K=64, C=3).  "auto" = on for TPU backends at
+# f32/small-C shapes; CODA_GROUP_GATHER=0 forces the XLA path.
+_PALLAS_GATHER = os.environ.get("CODA_GROUP_GATHER", "auto")
+# the kernel pays S*N*3C MACs -- a win for the coordinate/color gathers it
+# exists for, a loss for wide feature tensors.
+_PALLAS_GATHER_MAX_C = 8
+# below this point count XLA's gather is already cheap and the kernel's
+# per-cell overhead (and a tiny-nh Mosaic compile pathology observed at
+# N=1024 on v5e) isn't worth it; the hot shapes are N=20k/40k scenes.
+_PALLAS_GATHER_MIN_N = 4096
 
 
 def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -97,13 +111,58 @@ def ball_query(
     return jax.lax.map(per_scene, (xyz, new_xyz))
 
 
-def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
-    """features: (B, N, C), idx: (B, M, K) int -> (B, M, K, C)."""
+def _group_points_xla(features: jax.Array, idx: jax.Array) -> jax.Array:
     b, m, k = idx.shape
     flat = jnp.take_along_axis(
         features, idx.reshape(b, m * k, 1).astype(jnp.int32), axis=1
     )
     return flat.reshape(b, m, k, features.shape[-1])
+
+
+@jax.custom_vjp
+def _group_points_fast(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """TPU fast path: Pallas two-level one-hot gather (bit-exact vs the XLA
+    formulation; see ops/pallas_group_gather.py).  custom_vjp because
+    pallas_call has no derived transpose; the backward is the same
+    scatter-add XLA derives for take_along_axis."""
+    from coda_neurips2023_tpu.ops.pallas_group_gather import group_points_pallas
+
+    return group_points_pallas(features, idx)
+
+
+def _group_points_fwd(features, idx):
+    return _group_points_fast(features, idx), (idx, features.shape)
+
+
+def _group_points_bwd(res, g):
+    idx, fshape = res
+    b, m, k = idx.shape
+    flat_idx = idx.reshape(b, m * k, 1).astype(jnp.int32)
+    grad = jnp.zeros(fshape, g.dtype).at[
+        jnp.arange(b)[:, None, None],
+        flat_idx,
+        jnp.arange(fshape[-1])[None, None, :],
+    ].add(g.reshape(b, m * k, fshape[-1]))
+    return grad, None
+
+
+_group_points_fast.defvjp(_group_points_fwd, _group_points_bwd)
+
+
+def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """features: (B, N, C), idx: (B, M, K) int -> (B, M, K, C)."""
+    use_pallas = (
+        _PALLAS_GATHER == "1"
+        or (_PALLAS_GATHER == "auto" and jax.default_backend() == "tpu")
+    )
+    if (
+        use_pallas
+        and features.dtype == jnp.float32
+        and features.shape[-1] <= _PALLAS_GATHER_MAX_C
+        and features.shape[1] >= _PALLAS_GATHER_MIN_N
+    ):
+        return _group_points_fast(features, idx)
+    return _group_points_xla(features, idx)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 5))

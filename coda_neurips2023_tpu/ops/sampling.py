@@ -83,6 +83,27 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 
     Channels-last layout (the reference is (B, C, N); we keep features last so
     XLA keeps the C dimension in lanes). Gradient w.r.t. `points` is the
-    scatter-add of sampling_gpu.cu:36-48, provided natively by XLA.
+    scatter-add of sampling_gpu.cu:36-48 (XLA-native on the take_along_axis
+    path; explicit custom_vjp on the Pallas path).
+
+    On TPU, f32/small-C gathers route through the same Pallas two-level
+    one-hot kernel as group_points (ops/pallas_group_gather.py, bit-exact,
+    ~2x XLA's gather) by viewing (B, M) as (B, M/64, 64) grouped indices.
     """
+    from coda_neurips2023_tpu.ops import grouping
+
+    b, m = idx.shape
+    use_pallas = (
+        grouping._PALLAS_GATHER == "1"
+        or (grouping._PALLAS_GATHER == "auto" and jax.default_backend() == "tpu")
+    )
+    if (
+        use_pallas
+        and points.dtype == jnp.float32
+        and points.shape[-1] <= grouping._PALLAS_GATHER_MAX_C
+        and points.shape[1] >= grouping._PALLAS_GATHER_MIN_N
+        and m % 64 == 0
+    ):
+        out = grouping._group_points_fast(points, idx.reshape(b, m // 64, 64))
+        return out.reshape(b, m, points.shape[-1])
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)

@@ -17,6 +17,7 @@ from coda_neurips2023_tpu.ops import (
     three_interpolate,
     three_nn,
 )
+from coda_neurips2023_tpu.ops.grouping import _group_points_xla
 from coda_neurips2023_tpu.ops.hungarian import matcher_assignments
 from coda_neurips2023_tpu.ops.interpolate import interpolation_weights
 from coda_neurips2023_tpu.ops import box_ops
@@ -112,6 +113,65 @@ class TestGatherGroup:
         want[0, 0] = 2.0
         want[0, 3] = 1.0
         np.testing.assert_allclose(np.asarray(g), want)
+
+    @pytest.mark.parametrize(
+        "B,N,C,M,K",
+        [(2, 1000, 3, 64, 64), (1, 20000, 3, 128, 64), (2, 555, 6, 32, 16)],
+    )
+    def test_pallas_group_gather_bit_exact(self, B, N, C, M, K):
+        """The TPU two-level one-hot gather (interpret mode) is BIT-exact vs
+        take_along_axis -- the bf16x3 payload split + one-hot matmul must
+        reconstruct f32 exactly (ops/pallas_group_gather.py docstring);
+        covers non-multiple-of-128 N (tile padding) and C=6 (color path)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from coda_neurips2023_tpu.ops.pallas_group_gather import group_points_pallas
+
+        rng = np.random.default_rng(11)
+        feats = (rng.standard_normal((B, N, C)) * 4).astype(np.float32)
+        idx = rng.integers(0, N, (B, M, K)).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(group_points_pallas(jnp.asarray(feats), jnp.asarray(idx)))
+        want = np.asarray(_group_points_xla(jnp.asarray(feats), jnp.asarray(idx)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_gather_points_pallas_route_bit_exact(self, monkeypatch):
+        """gather_points' TPU route (grouped-view reuse of the Pallas kernel,
+        M % 64 == 0) == the take_along_axis path."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from coda_neurips2023_tpu.ops import grouping
+
+        rng = np.random.default_rng(13)
+        # N >= _PALLAS_GATHER_MIN_N so the monkeypatched route really takes
+        # the Pallas view path (smaller N falls back to take_along_axis)
+        pts = jnp.asarray((rng.standard_normal((2, 4100, 3)) * 4).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 4100, (2, 128)).astype(np.int32))
+        want = np.asarray(jnp.take_along_axis(pts, idx[..., None], axis=1))
+        monkeypatch.setattr(grouping, "_PALLAS_GATHER", "1")
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(gather_points(pts, idx))
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_group_gather_vjp_matches_xla(self):
+        """custom_vjp backward (explicit scatter-add) == XLA's derived
+        take_along_axis transpose, duplicates included."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from coda_neurips2023_tpu.ops.grouping import (
+            _group_points_fast,
+            _group_points_xla,
+        )
+
+        rng = np.random.default_rng(12)
+        feats = jnp.asarray(rng.standard_normal((2, 50, 3)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 50, (2, 8, 4)).astype(np.int32))
+        g_want = jax.grad(lambda f: jnp.sum(jnp.sin(_group_points_xla(f, idx))))(feats)
+        with pltpu.force_tpu_interpret_mode():
+            g_got = jax.grad(
+                lambda f: jnp.sum(jnp.sin(_group_points_fast(f, idx)))
+            )(feats)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-6)
 
 
 class TestInterpolate:

@@ -60,12 +60,13 @@ class _ProjParams(nn.Module):
     kernel_shape: tuple
     bias_shape: tuple
     fan_in_axes: tuple = (0,)
+    kernel_init: Optional[object] = None  # override (e.g. xavier for DETR)
 
     @nn.compact
     def __call__(self):
         n = len(self.kernel_shape)
         out_axes = tuple(i for i in range(n) if i not in self.fan_in_axes)
-        init = nn.initializers.variance_scaling(
+        init = self.kernel_init or nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal",
             in_axis=self.fan_in_axes, out_axis=out_axes,
         )

@@ -21,6 +21,8 @@ Attention-mask convention: `mask` is True where attention IS allowed
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -28,6 +30,31 @@ import jax
 import jax.numpy as jnp
 
 from coda_neurips2023_tpu.models.helpers import ACT
+
+# Pallas fused (radius-masked / vanilla / cross) attention for the encoder
+# and decoder eval paths (ops/pallas_masked_attention.py): "auto" = TPU
+# backend only; "0" forces the stock flax layer everywhere.  Train mode
+# ALWAYS uses stock flax (the kernel does not implement attention-weight
+# dropout), so training numerics are unchanged by this switch.
+# DEFAULT "0" until the on-chip A/B lands (the axon tunnel died mid-round-3
+# before the kernel could compile on real hardware; flip to "auto" with the
+# measured numbers -- see BASELINE.md).
+_FUSED_MASKED_ATTN = os.environ.get("CODA_MASKED_ATTN", "0")
+# operand dtype of the kernel's two big dots; bf16 matches the effective
+# precision of the incumbent XLA f32 matmuls on v5e (allow_excess_precision)
+_FUSED_MASKED_ATTN_DTYPE = os.environ.get("CODA_MASKED_ATTN_DTYPE", "bfloat16")
+
+
+def _use_fused_masked_attn(train: bool, s: int, d_head: int) -> bool:
+    if _FUSED_MASKED_ATTN == "0" or train:
+        return False
+    if s % 128 != 0 or s < 1024 or d_head % 8 != 0:
+        # tiny smoke shapes keep XLA (cheap there; avoids small-shape Mosaic
+        # edge cases -- same policy as the Pallas group gather's MIN_N gate)
+        return False
+    if _FUSED_MASKED_ATTN == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _xavier_mha(num_heads, dropout_rate, name, dtype=jnp.float32):
@@ -40,6 +67,74 @@ def _xavier_mha(num_heads, dropout_rate, name, dtype=jnp.float32):
     )
 
 
+class FusedMaskedSelfAttention(nn.Module):
+    """Radius-masked self-attention via the Pallas kernel.
+
+    Param tree identical to nn.MultiHeadDotProductAttention (query/key/value/
+    out DenseGeneral kernels+biases, xavier-initialized) so checkpoints and
+    the torch converter are attention-impl-agnostic; the projections einsum
+    straight into the kernel's layouts ((B,H,S,D) q/v, (B,H,D,S) k -- the k
+    transpose rides the projection matmul).  Mirrors flax numerics: query
+    scaled by 1/sqrt(D) after projection, finfo.min mask fill before
+    softmax.  Reference mask semantics: models/transformer.py
+    MaskedTransformerEncoder + /root/reference/models/transformer.py:154-161.
+    """
+
+    heads: int
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, v_in, xyz, radius: float = 0.0, k_in=None):
+        from coda_neurips2023_tpu.models.clip import _ProjParams
+        from coda_neurips2023_tpu.ops.pallas_masked_attention import masked_attention
+
+        h = self.heads
+        d = self.d_model // h
+        w_in = q_in.shape[-1]
+        # flax MHA with dtype=self.dtype casts inputs AND params; mirror it
+        q_in = q_in.astype(self.dtype)
+        v_in = v_in.astype(self.dtype)
+        # self-attention wiring (TransformerEncoderLayer): inputs_k == q_in;
+        # decoder cross-attention passes k_in = memory(+pos), v_in = memory
+        k_in = q_in if k_in is None else k_in.astype(self.dtype)
+        xav = nn.initializers.xavier_uniform()
+
+        def in_proj(name):
+            kernel, bias = _ProjParams(
+                (w_in, h, d), (h, d), kernel_init=xav, name=name
+            )()
+            return kernel.astype(self.dtype), bias.astype(self.dtype)
+
+        qk, qb = in_proj("query")
+        kk, kb = in_proj("key")
+        vk, vb = in_proj("value")
+        q = jnp.einsum("bsw,whd->bhsd", q_in, qk) + qb[None, :, None, :]
+        k = jnp.einsum("bsw,whd->bhds", k_in, kk) + kb[None, :, :, None]
+        v = jnp.einsum("bsw,whd->bhsd", v_in, vk) + vb[None, :, None, :]
+        q = q / jnp.asarray(math.sqrt(d), q.dtype)  # flax scales pre-matmul
+
+        if xyz is None:  # unmasked; kernel ignores coords (radius == 0)
+            b = q_in.shape[0]
+            qxyz = jnp.zeros((b, q_in.shape[1], 3), jnp.float32)
+            kxyz_t = jnp.zeros((b, 3, v_in.shape[1]), jnp.float32)
+            radius = 0.0
+        else:
+            qxyz = xyz.astype(jnp.float32)
+            kxyz_t = jnp.transpose(qxyz, (0, 2, 1))
+        out = masked_attention(
+            q, k, v, qxyz, kxyz_t, float(radius), _FUSED_MASKED_ATTN_DTYPE
+        )  # (B, H, Sq, D)
+
+        ok, ob = _ProjParams(
+            (h, d, self.d_model), (self.d_model,), fan_in_axes=(0, 1),
+            kernel_init=xav, name="out",
+        )()
+        return jnp.einsum(
+            "bhsd,hdw->bsw", out, ok.astype(self.dtype)
+        ) + ob.astype(self.dtype)
+
+
 class TransformerEncoderLayer(nn.Module):
     d_model: int
     nhead: int = 4
@@ -49,17 +144,36 @@ class TransformerEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, src, pos=None, mask=None, train: bool = False):
+    def __call__(self, src, pos=None, mask=None, train: bool = False,
+                 mask_xyz=None, mask_radius=None):
         act = ACT[self.activation]
         src2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         q = src2 if pos is None else src2 + pos
-        attn = _xavier_mha(self.nhead, self.dropout, "self_attn", self.dtype)(
-            inputs_q=q,
-            inputs_k=q,
-            inputs_v=src2,
-            mask=mask,
-            deterministic=not train,
+        fused_unmasked = (
+            mask is None
+            and mask_xyz is None
+            and _use_fused_masked_attn(
+                train, src.shape[1], self.d_model // self.nhead
+            )
         )
+        if mask_xyz is not None or fused_unmasked:
+            # Pallas fused path (eval only; radius-masked when mask_xyz is
+            # given, else plain attention for the vanilla encoder -- the
+            # wired CoDA configs, where XLA otherwise writes the
+            # (B, H, S, S) scores to HBM).  Same "self_attn" name + param
+            # tree as the flax layer below.
+            attn = FusedMaskedSelfAttention(
+                heads=self.nhead, d_model=self.d_model, dtype=self.dtype,
+                name="self_attn",
+            )(q, src2, mask_xyz, 0.0 if mask_radius is None else mask_radius)
+        else:
+            attn = _xavier_mha(self.nhead, self.dropout, "self_attn", self.dtype)(
+                inputs_q=q,
+                inputs_k=q,
+                inputs_v=src2,
+                mask=mask,
+                deterministic=not train,
+            )
         src = src + nn.Dropout(self.dropout, deterministic=not train)(attn)
         src2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
         ff = nn.Dense(
@@ -126,15 +240,26 @@ class MaskedTransformerEncoder(nn.Module):
         inds = None
         for i in range(self.num_layers):
             mask = None
+            mask_xyz = mask_radius = None
             if self.masking_radius[i] > 0:
-                # |a-b|^2 via the MXU (never materializes (B, S, S, 3))
-                sq = jnp.sum(xyz * xyz, axis=-1)
-                cross = jnp.einsum("bnd,bmd->bnm", xyz, xyz)
-                d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2 * cross, 0.0)
-                dist = jnp.sqrt(d2)
-                # reference quirk: euclidean distance vs squared radius
-                allowed = dist < self.masking_radius[i]
-                mask = allowed[:, None, :, :]  # (B, 1, S, S) broadcast over heads
+                if _use_fused_masked_attn(
+                    train, out.shape[1], self.d_model // self.nhead
+                ):
+                    # Pallas kernel rebuilds the mask in-VMEM from xyz --
+                    # neither the (B, S, S) distances nor the (B, H, S, S)
+                    # scores ever reach HBM (ops/pallas_masked_attention.py)
+                    mask_xyz, mask_radius = xyz, float(self.masking_radius[i])
+                else:
+                    # |a-b|^2 via the MXU (never materializes (B, S, S, 3))
+                    sq = jnp.sum(xyz * xyz, axis=-1)
+                    cross = jnp.einsum("bnd,bmd->bnm", xyz, xyz)
+                    d2 = jnp.maximum(
+                        sq[:, :, None] + sq[:, None, :] - 2 * cross, 0.0
+                    )
+                    dist = jnp.sqrt(d2)
+                    # reference quirk: euclidean distance vs squared radius
+                    allowed = dist < self.masking_radius[i]
+                    mask = allowed[:, None, :, :]  # (B, 1, S, S) over heads
             out = TransformerEncoderLayer(
                 self.d_model,
                 self.nhead,
@@ -142,7 +267,8 @@ class MaskedTransformerEncoder(nn.Module):
                 self.dropout,
                 self.activation,
                 name=f"layer{i}",
-            )(out, pos=pos, mask=mask, train=train)
+            )(out, pos=pos, mask=mask, train=train,
+              mask_xyz=mask_xyz, mask_radius=mask_radius)
             if i == 0:
                 sa = PointnetSAModuleVotes(
                     npoint=self.interim_npoint,
@@ -177,9 +303,22 @@ class TransformerDecoderLayer(nn.Module):
         tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         qq = tgt2 if query_pos is None else tgt2 + query_pos
         kk = memory if pos is None else memory + pos
-        ca = _xavier_mha(self.nhead, self.dropout, "multihead_attn", self.dtype)(
-            inputs_q=qq, inputs_k=kk, inputs_v=memory, deterministic=not train
-        )
+        if (
+            _use_fused_masked_attn(
+                train, memory.shape[1], self.d_model // self.nhead
+            )
+            and qq.shape[1] % 128 == 0
+        ):
+            # fused cross-attention: nqueries x S memory reads stay in VMEM
+            # (XLA otherwise writes (B, H, nq, S) scores to HBM per layer)
+            ca = FusedMaskedSelfAttention(
+                heads=self.nhead, d_model=self.d_model, dtype=self.dtype,
+                name="multihead_attn",
+            )(qq, memory, None, k_in=kk)
+        else:
+            ca = _xavier_mha(self.nhead, self.dropout, "multihead_attn", self.dtype)(
+                inputs_q=qq, inputs_k=kk, inputs_v=memory, deterministic=not train
+            )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ca)
 
         tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)

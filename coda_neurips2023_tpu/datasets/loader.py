@@ -51,6 +51,16 @@ _WORKER_DATASET = None
 
 
 def _proc_init(dataset):
+    import os
+
+    # Workers do HOST work only (numpy batch assembly); any jax op they
+    # incidentally reach (e.g. ops.box_ops helpers) must init the CPU
+    # backend, never the device: the parent owns the TPU, and a worker
+    # inheriting JAX_PLATFORMS=<tpu-ish> would either fight the parent for
+    # the chip or hang on an unreachable runtime (observed: forkserver
+    # children inheriting the axon relay env hang the whole loader when the
+    # relay dies).  Must run before the worker's first jax op.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
 

@@ -112,6 +112,12 @@ def get_ap_config_dict(
 _AP_POOL = None
 
 
+def _ap_worker_init():
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
 def _ap_pool():
     """Lazily-created forkserver pool for per-scan parse_predictions jobs.
     CODA_AP_WORKERS=0 disables (serial); default 8.  Same design as the
@@ -136,7 +142,11 @@ def _ap_pool():
                 from concurrent.futures import ProcessPoolExecutor
 
                 _AP_POOL = ProcessPoolExecutor(
-                    max_workers=n, mp_context=mp.get_context("forkserver")
+                    max_workers=n,
+                    mp_context=mp.get_context("forkserver"),
+                    # workers are host-numpy only; never let one init a
+                    # device backend (see datasets/loader.py _proc_init)
+                    initializer=_ap_worker_init,
                 )
             except Exception:
                 _AP_POOL = False

@@ -95,6 +95,50 @@ def main():
         out = fps_pallas(xyz2, 2048)
     _ = float(jnp.sum(out))
     print(f"fps B={B2} N={N} -> 2048: {(time.perf_counter()-t0)/10*1000:.1f} ms")
+
+    # group gather: bit-exactness on chip (bf16x3 one-hot reconstruction)
+    from coda_neurips2023_tpu.ops.grouping import _group_points_xla
+    from coda_neurips2023_tpu.ops.pallas_group_gather import group_points_pallas
+
+    feats = jnp.asarray(rng.standard_normal((B2, N, 3)).astype(np.float32) * 4)
+    gidx = jnp.asarray(rng.integers(0, N, (B2, M, NS)).astype(np.int32))
+    got = np.asarray(group_points_pallas(feats, gidx))
+    ref = np.asarray(_group_points_xla(feats, gidx))
+    match = np.array_equal(ref, got)
+    print(f"group_gather bit-exact: {'OK' if match else 'MISMATCH'}")
+    ok &= match
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = group_points_pallas(feats, gidx)
+    _ = float(jnp.sum(out))
+    print(f"group_gather B={B2} N={N} MK={M}x{NS}: "
+          f"{(time.perf_counter()-t0)/10*1000:.1f} ms")
+
+    # fused (masked/vanilla/cross) attention vs the plain-XLA restatement
+    from coda_neurips2023_tpu.ops import pallas_masked_attention as pma
+
+    b3, h3, s3, d3 = 4, 4, 2048, 64
+    q = jnp.asarray(rng.standard_normal((b3, h3, s3, d3)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b3, h3, d3, s3)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b3, h3, s3, d3)).astype(np.float32))
+    axyz = jnp.asarray(rng.uniform(-3, 3, (b3, s3, 3)).astype(np.float32))
+    axyz_t = jnp.transpose(axyz, (0, 2, 1))
+    for radius, label in [(0.0, "vanilla"), (0.16, "masked r=0.16")]:
+        got = np.asarray(pma.masked_attention(q, k, v, axyz, axyz_t, radius))
+        ref = np.asarray(
+            pma._reference(q, k, v, axyz, axyz_t, radius, jnp.bfloat16)
+        )
+        err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+        match = err < 5e-2  # both sides bf16 operands; order-of-accum noise
+        print(f"fused attention {label}: rel-err {err:.2e} "
+              f"{'OK' if match else 'MISMATCH'}")
+        ok &= match
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = pma.masked_attention(q, k, v, axyz, axyz_t, radius)
+        _ = float(jnp.sum(out))
+        print(f"fused attention {label} B={b3} S={s3}: "
+              f"{(time.perf_counter()-t0)/10*1000:.1f} ms")
     return 0 if ok else 1
 
 

@@ -61,6 +61,17 @@ def _proc_init(dataset):
     # children inheriting the axon relay env hang the whole loader when the
     # relay dies).  Must run before the worker's first jax op.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # env alone is not enough under the axon sitecustomize (it pins the
+    # platform via jax.config at interpreter start); harden the config too.
+    # NOTE this still runs AFTER the worker unpickles its payload, so package
+    # modules must never run a jax op at import time (see ops/hungarian.py
+    # _INF and test_import_initializes_no_jax_backend).
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
 

@@ -133,7 +133,14 @@ def make_train_step(
             }
         return loss, (loss_dict, mutated["batch_stats"], last)
 
-    @jax.jit
+    # donate the incoming state's buffers on accelerator backends: params +
+    # AdamW moments double-buffer otherwise (2x their HBM) and XLA can update
+    # in place.  Every call site immediately rebinds `state` to the output
+    # (train_one_epoch, benches, stage steps).  CPU stays non-donating so
+    # tests may reuse a state pytree across backend-shared calls.
+    donate = () if jax.default_backend() == "cpu" else (0,)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def train_step(state: TrainState, batch: dict, rng):
         batch = dict(batch)
         lr = batch.pop("lr", None)
@@ -333,16 +340,8 @@ def evaluate(
         exact_eval=exact_eval,
         dataset_name=dataset_name,
     )
-    for batch in batches:
-        pad_mask = batch.get("pad_mask")
-        device_batch = {
-            k: v
-            for k, v in batch.items()
-            if not isinstance(v, list) and k != "pad_mask"
-        }
-        if mesh is not None:
-            device_batch = shard_batch(mesh, device_batch)
-        outputs = jax.device_get(eval_step(state, device_batch))
+    def _meter(outputs_dev, batch, pad_mask):
+        outputs = jax.device_get(outputs_dev)
         if pad_mask is not None and not pad_mask.all():
             # tail batch padded to static shape by the loader: drop the
             # repeated rows before metering (padding is always a suffix)
@@ -353,5 +352,28 @@ def evaluate(
                 for k, v in batch.items()
             }
         ap.step_meter({"outputs": outputs}, batch)
+
+    # one-deep pipeline: the jitted step for batch i+1 is DISPATCHED before
+    # batch i's outputs are pulled to host, so the host-side NMS/AP metering
+    # (the eval bottleneck after the device step, see BASELINE.md) overlaps
+    # the device computing the next batch.  jax dispatch is async; device_get
+    # of the previous outputs only waits on that step.  The reference meters
+    # strictly serially (engine.py:2553-2664).
+    pending = None
+    for batch in batches:
+        pad_mask = batch.get("pad_mask")
+        device_batch = {
+            k: v
+            for k, v in batch.items()
+            if not isinstance(v, list) and k != "pad_mask"
+        }
+        if mesh is not None:
+            device_batch = shard_batch(mesh, device_batch)
+        outputs_dev = eval_step(state, device_batch)
+        if pending is not None:
+            _meter(*pending)
+        pending = (outputs_dev, batch, pad_mask)
+    if pending is not None:
+        _meter(*pending)
     print(f"evaluated {ap.scan_cnt} scans")
     return ap

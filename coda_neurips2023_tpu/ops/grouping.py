@@ -87,6 +87,14 @@ def ball_query(
             )
 
             return ball_query_pallas_mxu(radius, nsample, xyz, new_xyz)
+        if os.environ.get("CODA_BQ_ALGO", "adaptive") == "window":
+            # windowed one-hot insert, no extraction while_loop (v3 in
+            # pallas_ball_query.py); pending the on-chip sweep vs "adaptive"
+            from coda_neurips2023_tpu.ops.pallas_ball_query import (
+                ball_query_pallas_v3,
+            )
+
+            return ball_query_pallas_v3(radius, nsample, xyz, new_xyz)
         from coda_neurips2023_tpu.ops.pallas_ball_query import ball_query_pallas
 
         return ball_query_pallas(radius, nsample, xyz, new_xyz)

@@ -31,7 +31,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(1e18)
+# plain python float, NOT jnp.float32: a module-level jnp op initializes the
+# jax backend at IMPORT time, which hangs loader/AP pool workers that import
+# this package while unpickling their payload -- before their initializer can
+# force the CPU platform (datasets/loader.py _proc_init).  It is traced to a
+# f32 constant inside the jitted matcher either way.
+_INF = 1e18
 
 
 def _lsa_single(cost: jnp.ndarray, nlive: jnp.ndarray) -> jnp.ndarray:

@@ -182,6 +182,147 @@ def _bq_kernel(r2: float, nsample: int, n_real: int,
     out_ref[0, :, :] = filled
 
 
+# ---------------------------------------------------------------------------
+# v3: windowed one-hot insert (no while_loop).
+#
+# Analysis of the adaptive kernel above at the hot shape (B=32 N=20k M=2048
+# k=64): the extraction while_loop is LATENCY-bound, not throughput-bound --
+# each iteration is a short dependency chain (row-min reduce -> key update ->
+# next min) over just 16 (8,128) vregs, extracting <= TM hits, and the loop
+# runs ~64 times per tile; the full one-hot insert is throughput-bound at
+# ~3*nsample (TM,NC)-passes per chunk even when the chunk adds one hit.
+#
+# v3 keeps the cumsum-rank slot assignment but scatters through a WINDOW of
+# _W slots at a time, touching only the windows [min cnt, max new slot] that
+# this chunk can actually reach: a sparse late chunk pays ~3*_W passes, a
+# dense first chunk pays the same ~3*nsample as the full insert, and there is
+# no serial extraction loop at all -- every op is a wide feed-forward VPU op.
+# Chunks after every center is full skip ENTIRELY (including d^2; the v1
+# kernel still paid d^2 post-fill).  The smaller (TM, _W, NC) scatter
+# intermediate also unlocks TM > 8 (fewer grid steps, better fixed-cost
+# amortization); TM/W are env-tunable for the on-chip sweep.
+# ---------------------------------------------------------------------------
+_TM3 = int(os.environ.get("CODA_BQ3_TM", "16"))
+_W3 = int(os.environ.get("CODA_BQ3_W", "8"))
+
+
+def _bq3_kernel(r2: float, nsample: int, n_real: int,
+                xyz_ref, ctr_ref, out_ref):
+    # xyz_ref: (1, 3, Npad); ctr_ref: (1, 1, 3, TM); out_ref: (1, TM, KP)
+    n = xyz_ref.shape[-1]
+    kp = out_ref.shape[-1]
+    tm = ctr_ref.shape[-1]
+    w = _W3
+    nchunks = n // _NC
+    nwin = (nsample + w - 1) // w
+
+    def ctile(d):
+        row = ctr_ref[0, 0, d : d + 1, :]  # (1, TM)
+        return jnp.swapaxes(row, 0, 1)  # (TM, 1)
+
+    cx, cy, cz = ctile(0), ctile(1), ctile(2)
+    s_iota2 = jax.lax.broadcasted_iota(jnp.int32, (tm, nsample), 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, _NC), 1)
+
+    def live_chunk(ci, slots, cnt):
+        off = ci * _NC
+        xc = xyz_ref[0, 0:1, pl.ds(off, _NC)]
+        yc = xyz_ref[0, 1:2, pl.ds(off, _NC)]
+        zc = xyz_ref[0, 2:3, pl.ds(off, _NC)]
+        d2 = (cx - xc) ** 2 + (cy - yc) ** 2 + (cz - zc) ** 2  # (TM, NC)
+        kidx = off + c_iota
+        hit = jnp.logical_and(d2 < r2, kidx < n_real)
+        rank = _cumsum_lanes(hit.astype(jnp.int32))  # (TM, NC) inclusive
+        slot = cnt + rank - 1
+        valid = jnp.logical_and(hit, slot < nsample)
+        row_hits = rank[:, _NC - 1 :]  # (TM, 1) hits in this chunk
+        fit = jnp.minimum(row_hits, jnp.maximum(nsample - cnt, 0))
+        # new slots this chunk covers, per row: [cnt, cnt + fit - 1]
+        row_hi = cnt + fit - 1  # (TM, 1); < cnt when fit == 0
+
+        def scatter_window(wi, slots):
+            base = wi * w
+            acc = slots
+            for u in range(w):
+                s_abs = base + u
+                if s_abs >= nsample:
+                    break
+                m = jnp.logical_and(valid, slot == s_abs)
+                contrib = jnp.sum(
+                    jnp.where(m, kidx, 0), axis=1, keepdims=True
+                )  # (TM, 1)
+                acc = acc + jnp.where(s_iota2 == s_abs, contrib, 0)
+            return acc
+
+        for wi in range(nwin):
+            active = jnp.any(
+                jnp.logical_and(cnt < (wi + 1) * w, row_hi >= wi * w)
+            )
+            slots = jax.lax.cond(
+                active, lambda s=slots, i=wi: scatter_window(i, s), lambda s=slots: s
+            )
+        return slots, cnt + row_hits
+
+    init = (jnp.zeros((tm, nsample), jnp.int32), jnp.zeros((tm, 1), jnp.int32))
+    if nchunks == 1:
+        slots, cnt = live_chunk(0, *init)
+    else:
+
+        def chunk_body(ci, carry):
+            slots, cnt = carry
+            all_full = jnp.min(cnt) >= nsample
+            return jax.lax.cond(
+                all_full,
+                lambda: (slots, cnt),
+                lambda: live_chunk(ci, slots, cnt),
+            )
+
+        slots, cnt = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+
+    first = slots[:, 0:1]
+    filled = jnp.where(s_iota2 < jnp.minimum(cnt, nsample), slots, first)
+    filled = jnp.where(cnt > 0, filled, 0)
+    if kp > nsample:
+        filled = jnp.concatenate(
+            [filled, jnp.zeros((tm, kp - nsample), jnp.int32)], axis=1
+        )
+    out_ref[0, :, :] = filled
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query_pallas_v3(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
+    """xyz: (B, N, 3), new_xyz: (B, M, 3) -> (B, M, nsample) int32.
+
+    Windowed-insert variant (see block comment above); identical semantics
+    to `ball_query_pallas` (ball_query_gpu.cu:12-48 first-hit-fill).
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    tm = _TM3
+    n_pad = _round_up(n, _NC)
+    m_pad = _round_up(m, tm)
+    kp = _round_up(nsample, 128)
+
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
+    xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=1e9)
+    ctr = jnp.pad(new_xyz.astype(jnp.float32), ((0, 0), (0, m_pad - m), (0, 0)))
+    ctr_t = jnp.transpose(ctr.reshape(b, m_pad // tm, tm, 3), (0, 1, 3, 2))
+
+    out = pl.pallas_call(
+        functools.partial(_bq3_kernel, float(radius) ** 2, nsample, n),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, kp), jnp.int32),
+        grid=(b, m_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, 3, n_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, tm), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm, kp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+    )(xyz_t, ctr_t)
+    return out[:, :m, :nsample]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
     """xyz: (B, N, 3), new_xyz: (B, M, 3) -> (B, M, nsample) int32."""

@@ -15,10 +15,11 @@ SPMD:
     jit outputs -- the reference's all_gather_dict (dist.py:164-186)
     disappears.
 
-The model is small (256/512-dim); TP/PP/SP/EP are deliberately absent, as in
-the reference (SURVEY.md section 2.2): DP over ICI is the strategy, so the
-mesh is 1-D.  `make_mesh` still accepts an axis spec so a 2-D (dp, mp) mesh
-can be introduced without touching call sites.
+The model is small (256/512-dim), so DP over ICI is the *parity* strategy
+(the reference is DDP-only, SURVEY.md section 2.2) and the default mesh is
+1-D.  Tensor parallelism beyond parity lives in `parallel/tp.py`: a 2-D
+(dp, mp) mesh with megatron-style head/FFN sharding rules, same train step,
+GSPMD-inserted collectives.  PP/EP remain non-goals (8 tiny layers, no MoE).
 """
 
 from __future__ import annotations

@@ -116,6 +116,15 @@ def _ap_worker_init():
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # env alone is not enough under the axon sitecustomize (it pins the
+    # platform via jax.config at interpreter start); harden the config too
+    # so a worker-side jax op can never dial the device runtime
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def _ap_pool():

@@ -198,6 +198,41 @@ def test_eval_pads_and_meters_every_scan():
     assert len(ap.gt_map_cls) == n
 
 
+def test_import_initializes_no_jax_backend():
+    """Pool workers (loader + AP, forkserver) import package modules while
+    UNPICKLING their payload -- before any initializer can force the CPU
+    platform.  A module-level jax op therefore initializes whatever backend
+    the ambient config pins (the axon TPU relay in production), hanging every
+    worker when the relay is unreachable (observed: ops/hungarian.py _INF).
+    Guard: importing every worker-reachable module must create NO backend."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import coda_neurips2023_tpu.datasets.synthetic\n"
+        "import coda_neurips2023_tpu.datasets.sunrgbd\n"
+        "import coda_neurips2023_tpu.datasets.scannet\n"
+        "import coda_neurips2023_tpu.utils.ap_calculator\n"
+        "import coda_neurips2023_tpu.utils.eval_det\n"
+        "import coda_neurips2023_tpu.utils.nms\n"
+        "import coda_neurips2023_tpu.criterion\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, f'import ran a jax op: {list(xb._backends)}'\n"
+        "print('no backend')\n"
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "no backend" in out.stdout
+
+
 def test_process_loader_matches_serial():
     """Process-worker loader (forkserver) yields the same deterministic
     batches as the serial path: batches are built under per-task seeds, so

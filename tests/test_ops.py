@@ -87,6 +87,37 @@ class TestBallQuery:
         got = np.asarray(ball_query(0.5, 4, jnp.asarray(xyz), jnp.asarray(new_xyz)))
         np.testing.assert_array_equal(got, 0)
 
+    @pytest.mark.parametrize(
+        "B,N,M,radius,nsample,scale",
+        [
+            (2, 300, 33, 0.4, 8, 0.3),  # dense, 3 chunks, overflow + padded rows
+            (1, 300, 17, 0.15, 8, 1.0),  # sparse: zero-hit rows
+            (1, 260, 19, 0.4, 64, 0.3),  # k=64: full window sweep at W=8
+        ],
+    )
+    def test_pallas_v3_interpret_matches_golden(
+        self, monkeypatch, B, N, M, radius, nsample, scale
+    ):
+        # windowed-insert kernel correctness via interpret mode on CPU;
+        # chunk size shrunk so multi-chunk paths run in test time
+        from jax.experimental.pallas import tpu as pltpu
+        import coda_neurips2023_tpu.ops.pallas_ball_query as bq
+
+        monkeypatch.setattr(bq, "_NC", 128)
+        rng = np.random.default_rng(11)
+        xyz = rand_pc(rng, B, N, scale=scale)
+        new_xyz = np.concatenate(
+            [xyz[:, : M - 2], np.full((B, 2, 3), 50.0, np.float32)], axis=1
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                bq.ball_query_pallas_v3(
+                    radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz)
+                )
+            )
+        want = ball_query_golden(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+
 
 class TestGatherGroup:
     def test_gather(self):

@@ -57,6 +57,18 @@ _MP_RULES: Sequence[tuple[str, int, int]] = (
     (r"/linear1/kernel$", 2, 1),
     (r"/linear1/bias$", 1, 0),
     (r"/linear2/kernel$", 2, 0),
+    # CLIP towers (models/clip.py ResidualAttentionBlock): flax MHA under
+    # "attn" (same (D, H, hd) kernel layout as the trunk; FusedAttention's
+    # _ProjParams share it, but keep the Pallas path OFF under mp -- no
+    # GSPMD rule for pallas_call) and the c_fc/c_proj quick-GELU MLP.
+    # Covers the stage-1 distillation teacher: head-local attention + one
+    # collective per block, same megatron recipe.
+    (r"/attn/(query|key|value)/kernel$", 3, 1),
+    (r"/attn/(query|key|value)/bias$", 2, 0),
+    (r"/attn/out/kernel$", 3, 0),
+    (r"/c_fc/kernel$", 2, 1),
+    (r"/c_fc/bias$", 1, 0),
+    (r"/c_proj/kernel$", 2, 0),
 )
 
 

@@ -31,6 +31,16 @@ from coda_neurips2023_tpu.models.distillation import build_clip_distillation_tar
 from coda_neurips2023_tpu.models.text_bank import build_text_banks
 
 
+def _device_put_once(tree):
+    """device_put for step-builder constants that must not DISTURB placement:
+    leaves that are already jax Arrays (e.g. CLIP vars pre-sharded with the
+    parallel/tp.py NamedShardings, or plain init outputs) stay exactly where
+    they are; only host (numpy) leaves are transferred."""
+    return jax.tree.map(
+        lambda x: x if isinstance(x, jax.Array) else jax.device_put(x), tree
+    )
+
+
 def clip_tower_dtype(args):
     """Dtype for the frozen CLIP tower.  The reference runs CLIP fp16 on CUDA
     (convert_weights, CLIP/clip/model.py:1146); on v5e explicit bf16 measured
@@ -235,7 +245,7 @@ class StageContext:
             criterion_consts=None,  # text bank arrives via _text_bank
             lr_schedule=lr_schedule,
         )
-        clip_vars_device = jax.device_put(self.clip_variables)
+        clip_vars_device = _device_put_once(self.clip_variables)
         text_device = jax.device_put(self.train_text_features)
         scale = jnp.float32(self.logit_scale)
 
@@ -314,7 +324,7 @@ class StageContext:
                 "angle_continuous": last["angle_continuous"],
             }
 
-        clip_vars_device = jax.device_put(self.clip_variables)
+        clip_vars_device = _device_put_once(self.clip_variables)
         text = self.text_banks[bank]
         if getattr(self.args, "if_only_novel_prompt", False) and bank == "test":
             # --if_only_novel_prompt (reference model_3detr.py:1985, 2846):
@@ -392,7 +402,7 @@ class StageContext:
 
             return self._distillation_call(last, batch, rng, clip_arg_fn, text_bank)
 
-        clip_vars_device = jax.device_put(self.clip_variables)
+        clip_vars_device = _device_put_once(self.clip_variables)
         text_device = jax.device_put(text)
 
         def targets_step(state, batch, rng):
@@ -464,7 +474,7 @@ class StageContext:
                 crop_size=crop,
             )
 
-        clip_vars_device = jax.device_put(self.clip_variables)
+        clip_vars_device = _device_put_once(self.clip_variables)
         text_device = jax.device_put(superset)
 
         def fn(last_outputs, batch):

@@ -1,4 +1,4 @@
-"""Checkpoint save / resume (orbax + JSON sidecar).
+"""Checkpoint save / resume (orbax + JSON sidecar), async by default.
 
 Reference contract (/root/reference/utils/io.py:8-72 + main.py:423-460,
 485-498, 568-603):
@@ -14,10 +14,20 @@ The TrainState pytree goes through orbax; {epoch, best_val_metrics} live in
 a `meta.json` sidecar (the reference keeps them in the torch pickle).
 Pseudo-label state intentionally lives OUTSIDE the checkpoint in per-scan
 files, matching the reference (SURVEY.md section 5).
+
+TPU-first: saves go through one process-wide `ocp.AsyncCheckpointer` -- the
+device->host transfers and the filesystem commit run on background threads
+while training continues (the reference's torch.save blocks the train loop,
+main.py:485-498).  Orbax stages into a temp dir and renames on commit, so a
+crash mid-save never corrupts the previous checkpoint.  Every read path
+(`resume_if_possible`, `restore_params_only`, `load_checkpoint_tree`) and
+process exit (atexit) first drains pending saves, so save-then-load within
+one process stays race-free.
 """
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 from typing import Optional
@@ -25,6 +35,24 @@ from typing import Optional
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+_ASYNC_CKPTR = None
+
+
+def _ckptr() -> ocp.AsyncCheckpointer:
+    """Process-wide AsyncCheckpointer (created lazily; its save() first waits
+    for any still-running previous save, so back-to-back saves serialize)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(wait_for_pending_saves)
+    return _ASYNC_CKPTR
+
+
+def wait_for_pending_saves():
+    """Block until every async checkpoint commit has landed on disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def _ckpt_dir(checkpoint_dir: str, name: str) -> str:
@@ -37,15 +65,21 @@ def save_checkpoint(
     epoch: int,
     best_val_metrics: Optional[dict] = None,
     filename: str = "checkpoint",
+    block: bool = False,
 ):
-    """Rank-0 save of state (+ epoch / best metrics sidecar)."""
+    """Rank-0 save of state (+ epoch / best metrics sidecar).
+
+    Async by default: returns as soon as the save is staged (device buffers
+    snapshot without a host roundtrip); pass ``block=True`` (or call
+    ``wait_for_pending_saves``) to force completion."""
     if jax.process_index() != 0:
         return
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = _ckpt_dir(checkpoint_dir, filename)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
+    ckptr = _ckptr()
+    ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    # the sidecar is tiny and independent of the orbax commit: write it now
+    # so it can never be newer than the checkpoint it describes
     with open(path + ".meta.json", "w") as f:
         json.dump(
             {
@@ -56,6 +90,8 @@ def save_checkpoint(
             },
             f,
         )
+    if block:
+        ckptr.wait_until_finished()
 
 
 def _load_meta(path: str):
@@ -69,6 +105,7 @@ def _load_meta(path: str):
 def resume_if_possible(checkpoint_dir: str, state, filename: str = "checkpoint"):
     """Returns (epoch, best_val_metrics, state). epoch = -1 if nothing found
     (caller starts at 0), matching resume_if_possible (io.py:33-58)."""
+    wait_for_pending_saves()
     path = _ckpt_dir(checkpoint_dir, filename)
     if not checkpoint_dir or not os.path.isdir(path):
         return -1, {}, state
@@ -85,6 +122,7 @@ def restore_params_only(checkpoint_path: str, state, model_args=None):
     Accepts either an orbax directory produced by this framework, or a
     reference `.pth` checkpoint (converted on the fly via
     utils/torch_convert.py)."""
+    wait_for_pending_saves()
     if checkpoint_path.endswith(".pth") or checkpoint_path.endswith(".pt"):
         from coda_neurips2023_tpu.utils.torch_convert import load_reference_checkpoint
 
@@ -120,6 +158,7 @@ def load_checkpoint_tree(checkpoint_dir: str, filename: str = "checkpoint"):
     """Load a checkpoint WITHOUT a target state (raw pytree + meta sidecar).
     Used by the torch exporter (utils/torch_convert.py) where no model
     instance exists."""
+    wait_for_pending_saves()
     path = _ckpt_dir(checkpoint_dir, filename)
     if not os.path.isdir(path):
         raise FileNotFoundError(path)

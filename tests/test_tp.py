@@ -133,3 +133,68 @@ def test_tp_multi_step_no_drift():
     leaf = state_tp.params["encoder"]["layer0"]["self_attn"]["query"]["kernel"]
     spec = leaf.sharding.spec
     assert "mp" in tuple(spec), spec
+
+
+def test_tp_stage1_fused_step_matches_dp():
+    """The flagship stage-1 fused step (trunk + frozen CLIP teacher inside
+    ONE jit) on the (dp, mp) mesh: CLIP leaves shard under the tp.py CLIP
+    rules and the loss matches the dp-only run."""
+    import types
+
+    from coda_neurips2023_tpu.criterion import build_criterion
+    from coda_neurips2023_tpu.datasets.loader import collate
+    from coda_neurips2023_tpu.datasets.config import (
+        SunrgbdAnonymousConfig,
+        SunrgbdImageConfig,
+    )
+    from coda_neurips2023_tpu.datasets.synthetic import SyntheticDetectionDataset
+    from coda_neurips2023_tpu.models.model_3detr import CoDA3DETR
+    from coda_neurips2023_tpu.optimizer import build_optimizer
+    from coda_neurips2023_tpu.stages import StageContext
+    from test_stages import _crit_args, stage_args, tiny_clip
+
+    cfg = SunrgbdAnonymousConfig()
+    eval_cfg = SunrgbdImageConfig()
+    model = CoDA3DETR(
+        dataset_config=cfg, enc_dim=32, dec_dim=64, enc_nlayers=2,
+        dec_nlayers=2, enc_ffn_dim=32, dec_ffn_dim=32, preenc_npoints=64,
+        nqueries=16,
+    )
+    ds = SyntheticDetectionDataset(cfg, num_scenes=8, num_points=256,
+                                   with_images=True)
+    batch = collate([ds[i] for i in range(8)])
+    batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    args = stage_args()
+    criterion = build_criterion(_crit_args(args), cfg)
+    tx, schedule = build_optimizer(args, None, 4)
+    rng = jax.random.PRNGKey(1)
+
+    # dp-only reference
+    ctx = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    mesh_dp = make_mesh(8)
+    fused = ctx.make_fused_train_step(model, criterion, tx, lr_schedule=schedule)
+    _, metrics_dp = fused(replicate(mesh_dp, state), shard_batch(mesh_dp, batch), rng)
+
+    # (dp=4, mp=2): trunk AND CLIP sharded; same ctx would reuse the step
+    # cache, so build a fresh one with pre-sharded clip vars
+    mesh_tp = make_tp_mesh(8, mp=2)
+    ctx_tp = StageContext(args, eval_cfg, clip_model=tiny_clip(), crop_size=16)
+    n_clip, _ = tp_param_summary(ctx_tp.clip_variables, 2)
+    assert n_clip > 0, "CLIP rules sharded nothing"
+    ctx_tp.clip_variables = shard_state_tp(mesh_tp, ctx_tp.clip_variables)
+    state_tp = shard_state_tp(mesh_tp, create_train_state(
+        model, tx, jax.random.PRNGKey(0), batch))
+    fused_tp = constrain_train_step(
+        ctx_tp.make_fused_train_step(model, criterion, tx, lr_schedule=schedule),
+        mesh_tp, state_tp,
+    )
+    state_tp, metrics_tp = fused_tp(state_tp, shard_batch(mesh_tp, batch), rng)
+
+    np.testing.assert_allclose(
+        float(metrics_dp["loss"]), float(metrics_tp["loss"]), rtol=5e-4
+    )
+    # CLIP vars stayed mp-sharded (the step did not gather the teacher)
+    leaf = ctx_tp.clip_variables["params"]["visual"]["transformer"][
+        "resblock0"]["c_fc"]["kernel"]
+    assert "mp" in tuple(leaf.sharding.spec), leaf.sharding

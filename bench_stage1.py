@@ -134,11 +134,15 @@ def main():
             lr_schedule=schedule,
         )
         batch_b = {**batch, **jax.device_get(tgt)}
-        s2, m2 = tstep(state, batch_b, jax.random.PRNGKey(1))
+        # tstep DONATES its state input (engine.make_train_step): give it a
+        # fresh state and rebind every call, keeping `state` alive for the
+        # sections below
+        s2 = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        s2, m2 = tstep(s2, batch_b, jax.random.PRNGKey(1))
         float(m2["loss"])
         t0 = time.perf_counter()
         for _ in range(iters):
-            s2, m2 = tstep(state, batch_b, jax.random.PRNGKey(1))
+            s2, m2 = tstep(s2, batch_b, jax.random.PRNGKey(1))
         float(m2["loss"])
         dt_b = (time.perf_counter() - t0) / iters
         print(f"phase B (train fwd+bwd+opt): {dt_b*1000:.0f} ms")

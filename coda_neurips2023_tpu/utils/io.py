@@ -16,9 +16,10 @@ Pseudo-label state intentionally lives OUTSIDE the checkpoint in per-scan
 files, matching the reference (SURVEY.md section 5).
 
 TPU-first: saves go through one process-wide `ocp.AsyncCheckpointer` -- the
-device->host transfers and the filesystem commit run on background threads
-while training continues (the reference's torch.save blocks the train loop,
-main.py:485-498).  Orbax stages into a temp dir and renames on commit, so a
+filesystem commit runs on background threads while training continues (the
+reference's torch.save blocks the train loop, main.py:485-498).  The
+device->host snapshot happens in save()'s BLOCKING phase (orbax contract),
+so the next train step may freely donate/overwrite the state buffers.  Orbax stages into a temp dir and renames on commit, so a
 crash mid-save never corrupts the previous checkpoint.  Every read path
 (`resume_if_possible`, `restore_params_only`, `load_checkpoint_tree`) and
 process exit (atexit) first drains pending saves, so save-then-load within

@@ -87,10 +87,28 @@ def main():
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     rng = jax.random.PRNGKey(1)
 
-    # 1. full train step
+    # 1. full train step.  The step DONATES its state argument on device
+    # backends (engine.make_train_step), so every call must rebind -- reusing
+    # a donated state raises "Array has been deleted" on chip.
     step = make_train_step(model, criterion, tx, lr_schedule=schedule)
-    new_state, m = step(state, batch, rng)
-    t_full = timeit(lambda: step(state, batch, rng)[1]["loss"])
+
+    def run_step(s):
+        s, m = step(s, batch, rng)
+        return s, m["loss"]
+
+    tstate, loss = run_step(state)
+    _drain(loss)
+    for _ in range(2):
+        tstate, loss = run_step(tstate)
+        _drain(loss)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        tstate, loss = run_step(tstate)
+    _drain(loss)
+    t_full = (time.perf_counter() - t0) / 8 * 1e3
+    del tstate
+    # re-make the (donated) initial state for the sub-profiles below
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     print(f"full train step:        {t_full:7.1f} ms")
 
     # 2. train-mode forward only

@@ -370,6 +370,12 @@ def evaluate(
         if mesh is not None:
             device_batch = shard_batch(mesh, device_batch)
         outputs_dev = eval_step(state, device_batch)
+        # start the device->host transfer immediately so it overlaps BOTH the
+        # previous batch's host metering and this batch's device step; the
+        # later device_get then just collects finished buffers
+        for leaf in jax.tree.leaves(outputs_dev):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         if pending is not None:
             _meter(*pending)
         pending = (outputs_dev, batch, pad_mask)

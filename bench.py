@@ -89,41 +89,8 @@ def main():
     )
 
 
-def _probe_backend(timeout_s: float = 240.0) -> bool:
-    """The axon relay (stdio tunnel to the chip) can die outright, after which
-    every device op hangs FOREVER with no error (observed 2026-08-17; see
-    scripts/probe_tpu.py).  Run a tiny jit in a daemon thread first so a dead
-    relay yields an honest error line + exit 1 instead of a silent hang."""
-    import threading
-
-    ok = []
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        x = jnp.ones((128, 128))
-        np.asarray(jax.jit(lambda a: (a @ a).sum())(x))
-        ok.append(True)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
-
-
 if __name__ == "__main__":
-    if not _probe_backend():
-        print(
-            json.dumps(
-                {
-                    "metric": "sunrgbd_eval_scenes_per_sec_per_chip",
-                    "value": None,
-                    "unit": "scenes/s",
-                    "vs_baseline": None,
-                    "error": "device backend unreachable (axon relay down); no measurement",
-                }
-            )
-        )
-        raise SystemExit(1)
+    from coda_neurips2023_tpu.utils.probe import exit_unless_backend_alive
+
+    exit_unless_backend_alive("sunrgbd_eval_scenes_per_sec_per_chip", "scenes/s")
     main()

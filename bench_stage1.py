@@ -195,4 +195,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from coda_neurips2023_tpu.utils.probe import exit_unless_backend_alive
+
+    exit_unless_backend_alive("sunrgbd_stage1_step_ms", "ms")
     main()

@@ -70,6 +70,14 @@ def make_args_parser():
              "BASELINE.md); ours, not a reference flag",
     )
     parser.add_argument(
+        "--remat", default=False, action="store_true",
+        help="per-transformer-layer activation checkpointing "
+             "(jax.checkpoint): recompute layer activations in the backward "
+             "pass instead of holding them in HBM -- enables larger per-chip "
+             "batches at ~1/3 extra layer FLOPs; numerics identical (tested). "
+             "Ours, not a reference flag",
+    )
+    parser.add_argument(
         "--if_two_phase_stage_step", default=False, action="store_true",
         help="split stage training into a targets jit + train jit instead of "
              "the fused single jit (fallback; ours, not a reference flag)",

@@ -70,6 +70,7 @@ class CoDA3DETR(nn.Module):
     with_text_head: bool = True
     use_color: bool = False
     compute_dtype: jnp.dtype = jnp.float32  # bf16 for MXU-heavy paths
+    remat: bool = False  # per-layer activation checkpointing (transformer.py)
 
     def setup(self):
         # pre-encoder: SA(radius .2, nsample 64) (reference build_preencoder,
@@ -91,6 +92,7 @@ class CoDA3DETR(nn.Module):
                 dropout=self.enc_dropout,
                 activation=self.enc_activation,
                 dtype=self.compute_dtype,
+                remat=self.remat,
             )
         elif self.enc_type == "masked":
             self.encoder = MaskedTransformerEncoder(
@@ -102,6 +104,7 @@ class CoDA3DETR(nn.Module):
                 dim_feedforward=self.enc_ffn_dim,
                 dropout=self.enc_dropout,
                 activation=self.enc_activation,
+                remat=self.remat,
             )
         else:
             raise ValueError(self.enc_type)
@@ -131,6 +134,7 @@ class CoDA3DETR(nn.Module):
             dim_feedforward=self.dec_ffn_dim,
             dropout=self.dec_dropout,
             dtype=self.compute_dtype,
+            remat=self.remat,
         )
 
         def head(output_dim):
@@ -298,6 +302,7 @@ def _model_kwargs_from_args(args, dataset_config, num_cls_predict, with_text_hea
         position_embedding=args.pos_embed,
         with_text_head=with_text_head,
         use_color=args.use_color,
+        remat=getattr(args, "remat", False),
     )
 
 

@@ -199,12 +199,17 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    # remat: recompute each layer's activations in the backward pass instead
+    # of keeping them in HBM (jax.checkpoint per layer).  Memory-for-FLOPs
+    # lever for larger per-chip batches; numerics identical (dropout rngs are
+    # lifted, so the recompute replays the same masks).  Train-time only.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src, xyz=None, pos=None, mask=None, train: bool = False):
         out = src
         for i in range(self.num_layers):
-            out = TransformerEncoderLayer(
+            layer = TransformerEncoderLayer(
                 self.d_model,
                 self.nhead,
                 self.dim_feedforward,
@@ -212,7 +217,13 @@ class TransformerEncoder(nn.Module):
                 self.activation,
                 self.dtype,
                 name=f"layer{i}",
-            )(out, pos=pos, mask=mask, train=train)
+            )
+            if self.remat and train:
+                out = nn.remat(
+                    lambda m, s, p, mk: m(s, pos=p, mask=mk, train=True)
+                )(layer, out, pos, mask)
+            else:
+                out = layer(out, pos=pos, mask=mask, train=train)
         return xyz, out, None  # (xyz, features, inds): no downsampling here
 
 
@@ -230,6 +241,7 @@ class MaskedTransformerEncoder(nn.Module):
     dim_feedforward: int = 128
     dropout: float = 0.1
     activation: str = "relu"
+    remat: bool = False  # see TransformerEncoder.remat
 
     @nn.compact
     def __call__(self, src, xyz, pos=None, train: bool = False):
@@ -260,15 +272,24 @@ class MaskedTransformerEncoder(nn.Module):
                     # reference quirk: euclidean distance vs squared radius
                     allowed = dist < self.masking_radius[i]
                     mask = allowed[:, None, :, :]  # (B, 1, S, S) over heads
-            out = TransformerEncoderLayer(
+            layer = TransformerEncoderLayer(
                 self.d_model,
                 self.nhead,
                 self.dim_feedforward,
                 self.dropout,
                 self.activation,
                 name=f"layer{i}",
-            )(out, pos=pos, mask=mask, train=train,
-              mask_xyz=mask_xyz, mask_radius=mask_radius)
+            )
+            if self.remat and train:
+                out = nn.remat(
+                    lambda m, s, p, mk, mxyz, r=mask_radius: m(
+                        s, pos=p, mask=mk, train=True,
+                        mask_xyz=mxyz, mask_radius=r,
+                    )
+                )(layer, out, pos, mask, mask_xyz)
+            else:
+                out = layer(out, pos=pos, mask=mask, train=train,
+                            mask_xyz=mask_xyz, mask_radius=mask_radius)
             if i == 0:
                 sa = PointnetSAModuleVotes(
                     npoint=self.interim_npoint,
@@ -344,6 +365,7 @@ class TransformerDecoder(nn.Module):
     dim_feedforward: int = 256
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # see TransformerEncoder.remat
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, pos=None, train: bool = False):
@@ -352,11 +374,19 @@ class TransformerDecoder(nn.Module):
         out = tgt
         intermediate = []
         for i in range(self.num_layers):
-            out = TransformerDecoderLayer(
+            layer = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 dtype=self.dtype,
                 name=f"layer{i}",
-            )(out, memory, query_pos=query_pos, pos=pos, train=train)
+            )
+            if self.remat and train:
+                out = nn.remat(
+                    lambda m, t, mem, qp, p: m(
+                        t, mem, query_pos=qp, pos=p, train=True
+                    )
+                )(layer, out, memory, query_pos, pos)
+            else:
+                out = layer(out, memory, query_pos=query_pos, pos=pos, train=train)
             intermediate.append(norm(out))
         # the reference replaces the last intermediate with the same final norm
         # output (transformer.py:132-137) -- identical here since norm is shared.

@@ -180,3 +180,54 @@ def test_2d_box_iou_supervised_loss_matches_skip_none_when_no_judge():
     a = float(loss_dict["loss_sem_cls_softmax_skip_none_gt_sample"])
     b = float(loss_dict["loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample"])
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_remat_matches_no_remat():
+    """--remat (per-layer jax.checkpoint, both encoders + decoder) must be a
+    pure memory/FLOPs trade: same params, same loss, same gradients -- the
+    lifted dropout rngs replay identically during the recompute."""
+    cfg, model, batch, criterion, tx, schedule = tiny_setup(batch_size=2)
+    model_r = model.clone(remat=True)
+    rng = jax.random.PRNGKey(1)
+
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, criterion, tx, lr_schedule=schedule)
+    state_a, metrics_a = step(state, batch, rng)
+
+    # identical init (same structure/keys: remat does not change param paths)
+    state_r = create_train_state(model_r, tx, jax.random.PRNGKey(0), batch)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state_r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    step_r = make_train_step(model_r, criterion, tx, lr_schedule=schedule)
+    state_b, metrics_b = step_r(state_r, batch, rng)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_remat_masked_encoder_matches():
+    """Same check for the masked-encoder flagship config (interim FPS
+    downsampling between rematted layers)."""
+    cfg, model, batch, criterion, tx, schedule = tiny_setup(batch_size=2)
+    model = model.clone(enc_type="masked")
+    model_r = model.clone(remat=True)
+    rng = jax.random.PRNGKey(1)
+
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, criterion, tx, lr_schedule=schedule)
+    _, metrics_a = step(state, batch, rng)
+
+    state_r = create_train_state(model_r, tx, jax.random.PRNGKey(0), batch)
+    step_r = make_train_step(model_r, criterion, tx, lr_schedule=schedule)
+    _, metrics_b = step_r(state_r, batch, rng)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )

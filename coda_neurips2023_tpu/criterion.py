@@ -556,7 +556,10 @@ class SetCriterion:
         return jnp.einsum("bqc,kc->bqk", emb, text) * targets["logit_scale"]
 
     def loss_feat_seen_softmax_loss(self, outputs, targets, assignments):
-        """criterion.py:488-540: matched-only seen-class CE, confidence 1."""
+        """criterion.py:512-542: matched-only seen-class CE, weight 1 on
+        matched rows; the reference normalizer is ``n_matched * nq``
+        (``all_num = sum(matched) * loss.shape[-1]`` where the CE output is
+        (B, nq)) -- NOT the matched count (live-parity-tested)."""
         logits = self._seen_logits(outputs, targets)
         seen_label = _gather_per_prop(
             targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
@@ -564,22 +567,38 @@ class SetCriterion:
         )
         confi = assignments["proposal_matched_mask"]
         nll = _cross_entropy(logits, seen_label)
-        return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) + 1e-32)
+        nq = nll.shape[-1]
+        return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) * nq + 1e-32)
 
     def loss_feat_seen_softmax_weakly_loss(self, outputs, targets, assignments):
-        """criterion.py:542-597: matched seen labels + weak labels elsewhere,
-        confidences as given."""
+        """criterion.py:545-597: matched proposals take their seen label,
+        the rest the CLIP weak label; the confidence map depends on
+        ``confidence_type`` (ones / weak weights / objectness / average, with
+        matched-and-labeled rows forced to 1.0 in the non-ones modes); seen
+        labels of -1 (novel boxes) fall back to the weak label AFTER the
+        confidence override mask is computed.  Normalizer = count of nonzero
+        confidences.  Live-parity-tested per confidence type."""
         logits = self._seen_logits(outputs, targets)
         seen_label = _gather_per_prop(
             targets["gt_box_seen_sem_cls_label"].astype(jnp.int32),
             assignments["per_prop_gt_inds"],
         )
-        seen_confi = _gather_per_prop(
-            targets["gt_box_seen_sem_cls_confi"], assignments["per_prop_gt_inds"]
-        )
+        weak_label = targets["weak_box_cate_label"].astype(jnp.int32)
         matched = assignments["proposal_matched_mask"] > 0
-        gt_label = jnp.where(matched, seen_label, targets["weak_box_cate_label"].astype(jnp.int32))
-        confi = jnp.where(matched, seen_confi, targets["weak_confidence_weight"])
+        gt_label = jnp.where(matched, seen_label, weak_label)
+        override = jnp.logical_and(matched, gt_label != -1)
+        if self.confidence_type == "clip-max-prob":
+            confi = jnp.where(override, 1.0, targets["weak_confidence_weight"])
+        elif self.confidence_type == "objectness":
+            obj = jax.lax.stop_gradient(outputs["objectness_prob"])
+            confi = jnp.where(override, 1.0, obj)
+        elif self.confidence_type == "clip+objectness":
+            obj = jax.lax.stop_gradient(outputs["objectness_prob"])
+            mix = (obj + targets["weak_confidence_weight"]) / 2.0
+            confi = jnp.where(override, 1.0, mix)
+        else:  # "non-confidence"
+            confi = jnp.ones(gt_label.shape, logits.dtype)
+        gt_label = jnp.where(gt_label == -1, weak_label, gt_label)
         nll = _cross_entropy(logits, gt_label)
         return jnp.sum(nll * confi) / (jnp.sum(confi > 1e-32) + 1e-32)
 

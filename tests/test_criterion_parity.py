@@ -181,7 +181,8 @@ def _our_loss(args, outs, targets, extras):
     tgt = {
         k: jnp.asarray(v)
         for k, v in targets.items()
-        if k.startswith("gt_") or k == "discovery_novel"
+        if k.startswith("gt_")
+        or k in ("discovery_novel", "novel_box_judge", "full_image_embedding")
     }
     tgt["gt_text_correlation_embedding"] = jnp.asarray(
         extras["gt_text_correlation_embedding"]
@@ -258,5 +259,125 @@ def test_discovery_objectness_variants_match_reference(shared, variant):
     assert key in ref_dict and key in our_dict
     assert our_dict[key] == pytest.approx(ref_dict[key], rel=2e-4, abs=2e-5), (
         f"{variant}: ours {our_dict[key]} vs reference {ref_dict[key]}"
+    )
+    assert our_total == pytest.approx(ref_total, rel=2e-4, abs=2e-5)
+
+
+# registry losses NOT active in the shipped stage-1/2 recipes (those are
+# covered above): turned on ONE AT A TIME at weight 1.0 against the live
+# reference criterion.  Together with the shipped-config tests this pins the
+# semantics of every loss the rebuild's registry exposes
+# (/root/reference/criterion.py:135-168 loss_functions).
+_UNSHIPPED_SWEEP = [
+    "loss_sem_cls_weight",
+    "loss_sem_cls_softmax_weight",
+    "loss_giou_weight",
+    "loss_sem_cls_softmax_discovery_novel_objectness_weight",
+    "loss_sem_cls_softmax_2d_box_iou_supervised_skip_none_gt_sample_weight",
+    "loss_predicted_region_embed_cos_weight",
+    "loss_contrastive_weight",
+    "loss_feat_seen_sigmoid_loss_weight",
+    "loss_feat_seen_sigmoid_with_full_image_loss_weight",
+    "loss_feat_seen_softmax_loss_weight",
+    "loss_feat_seen_softmax_weakly_loss_weight",
+    "loss_feat_seen_softmax_loss_with_novel_cate_confi_weight",
+    "loss_feat_seen_softmax_iou_match_weakly_loss_with_novel_cate_confi_weight",
+    "loss_predicted_region_embed_l1_only_last_layer_weight",
+]
+
+
+@pytest.mark.parametrize("weight_key", _UNSHIPPED_SWEEP)
+def test_unshipped_registry_losses_match_reference(shared, weight_key):
+    outs, targets, extras = shared
+    args = _make_args(2)
+    # zero every loss, then enable just this one (keep the matcher costs and
+    # the CE bg class weights -- they are criterion ctor inputs, not losses)
+    for k in vars(args):
+        if (
+            k.startswith("loss_")
+            and k.endswith("_weight")
+            and "no_object" not in k
+        ):
+            setattr(args, k, 0.0)
+    setattr(args, weight_key, 1.0)
+
+    targets = {k: np.array(v, copy=True) for k, v in targets.items()}
+    rng = np.random.default_rng(11)
+    if "discovery" in weight_key:
+        targets["discovery_novel"] = (
+            rng.uniform(size=(B, NQ)) > 0.6
+        ).astype(np.int64)
+    if "2d_box_iou_supervised" in weight_key:
+        # the 2D-IoU judge signal (reference reads targets['novel_box_judge'];
+        # produced by the image-supervised variants): some positives, and
+        # scene 0 has judged boxes but no GT -- exercises the has-object gate
+        targets["novel_box_judge"] = (
+            rng.uniform(size=(B, NQ)) > 0.7
+        ).astype(np.float32)
+        targets["gt_box_present"][0] = 0
+    if "full_image" in weight_key:
+        targets["full_image_embedding"] = rng.standard_normal(
+            (B, 512)
+        ).astype(np.float32)
+
+    if weight_key == "loss_contrastive_weight":
+        # the reference's loss_contrastive is DEAD CODE: it reads
+        # self.logit_scale, whose every definition is commented out
+        # (/root/reference/criterion.py:118-122, 458) -- enabling the weight
+        # crashes the reference itself.  Pin that brokenness; our
+        # implementation (criterion.py loss_contrastive) follows the evident
+        # intent (CLIP-style symmetric CE) and is exercised for finiteness.
+        # (it KeyErrors first on 'pooled_updated_text_features', an output no
+        # wired model produces; with that injected it would still hit the
+        # undefined self.logit_scale)
+        with pytest.raises((AttributeError, KeyError),
+                           match="logit_scale|pooled_updated_text_features"):
+            _ref_loss(args, outs, targets, extras)
+        # ours stays runnable: the pooled text/image features come only from
+        # unwired prompt-training variants, so the loss evaluates to 0 here
+        our_total, our_dict = _our_loss(args, outs, targets, extras)
+        assert np.isfinite(our_dict["loss_contrastive"])
+        return
+
+    ref_total, ref_dict = _ref_loss(args, outs, targets, extras)
+    our_total, our_dict = _our_loss(args, outs, targets, extras)
+    key = weight_key[: -len("_weight")]
+    ref_keys = [k for k in ref_dict if k.startswith(key)]
+    assert ref_keys, f"reference computed nothing for {key}: {list(ref_dict)}"
+    for k in ref_keys:
+        assert k in our_dict, f"{k} missing from our loss dict {list(our_dict)}"
+        assert our_dict[k] == pytest.approx(ref_dict[k], rel=2e-4, abs=2e-5), (
+            f"{k}: ours {our_dict[k]} vs reference {ref_dict[k]}"
+        )
+    assert our_total == pytest.approx(ref_total, rel=2e-4, abs=2e-5)
+
+
+@pytest.mark.parametrize(
+    "confidence_type",
+    ["non-confidence", "clip-max-prob", "objectness", "clip+objectness"],
+)
+def test_weakly_loss_confidence_types_match_reference(shared, confidence_type):
+    """loss_feat_seen_softmax_weakly_loss's confidence map has four modes
+    (/root/reference/criterion.py:561-575), and seen labels of -1 (novel
+    boxes) fall back to the weak label AFTER the confidence override mask is
+    built -- inject some -1 labels so that ordering is actually tested."""
+    outs, targets, extras = shared
+    args = _make_args(2)
+    for k in vars(args):
+        if k.startswith("loss_") and k.endswith("_weight") and "no_object" not in k:
+            setattr(args, k, 0.0)
+    args.loss_feat_seen_softmax_weakly_loss_weight = 1.0
+    args.confidence_type = confidence_type
+
+    rng = np.random.default_rng(13)
+    targets = {k: np.array(v, copy=True) for k, v in targets.items()}
+    lab = targets["gt_box_seen_sem_cls_label"]
+    lab[rng.uniform(size=lab.shape) > 0.7] = -1  # novel-marked seen labels
+
+    ref_total, ref_dict = _ref_loss(args, outs, targets, extras)
+    our_total, our_dict = _our_loss(args, outs, targets, extras)
+    k = "loss_feat_seen_softmax_weakly_loss"
+    assert our_dict[k] == pytest.approx(ref_dict[k], rel=2e-4, abs=2e-5), (
+        f"{confidence_type}: ours {our_dict[k]} vs reference {ref_dict[k]}"
     )
     assert our_total == pytest.approx(ref_total, rel=2e-4, abs=2e-5)

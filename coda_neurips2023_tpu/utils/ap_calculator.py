@@ -297,11 +297,9 @@ def parse_predictions(
             ]
         else:
             cur_list = [
-                (
-                    pred_sem_cls[i, j],
-                    corners[i, j],
-                    sem_cls_probs[i, j, pred_sem_cls[i, j]] * obj_prob[i, j],
-                )
+                # score is the objectness ALONE (reference
+                # ap_calculator.py:996-1007), not sem_prob * objectness
+                (pred_sem_cls[i, j], corners[i, j], obj_prob[i, j])
                 for j in keep_j
             ]
         batch_pred_map_cls.append(cur_list)

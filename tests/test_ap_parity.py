@@ -247,3 +247,76 @@ def test_ap_stack_matches_reference_scannet_buckets():
             assert o == pytest.approx(r, rel=1e-6, abs=1e-9), (
                 f"iou {thr} metric {k}: ours {o} vs reference {r}"
             )
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        "default",
+        "no_nms",
+        "nms_2d",            # use_3d_nms=False -> BEV 2D NMS branch
+        "nms_2d_old_type",   # + use_old_type_nms inside nms_2d_faster
+        "nms_3d_not_samecls",  # cls_nms=False -> class-agnostic 3D NMS
+        "cls_confidence_only",  # score = sem prob alone, not * objectness
+        "no_per_class_proposal",
+        "no_remove_empty_box",
+    ],
+)
+def test_parse_predictions_config_variants_match_reference(variant):
+    """parse_predictions has 5 independent protocol switches
+    (/root/reference/utils/ap_calculator.py:777-960 + get_ap_config_dict);
+    the default-path parity above exercises only the shipped combination.
+    Run each branch against the live reference on the same stress batch."""
+    data = _scenario()
+    overrides = {
+        "default": {},
+        "no_nms": {"no_nms": True},
+        "nms_2d": {"use_3d_nms": False, "cls_nms": False},
+        "nms_2d_old_type": {
+            "use_3d_nms": False, "cls_nms": False, "use_old_type_nms": True
+        },
+        "nms_3d_not_samecls": {"cls_nms": False},
+        # per_class_proposal must be off with cls_confidence_only: the
+        # reference asserts the combination away (ap_calculator.py:947)
+        "cls_confidence_only": {
+            "use_cls_confidence_only": True, "per_class_proposal": False
+        },
+        "no_per_class_proposal": {"per_class_proposal": False},
+        "no_remove_empty_box": {"remove_empty_box": False},
+    }[variant]
+
+    saved = install_stubs()
+    try:
+        apc_mod = importlib.import_module("utils.ap_calculator")
+        ref_cfg = apc_mod.get_ap_config_dict(
+            dataset_config=types.SimpleNamespace(num_semcls=NCLS), **overrides
+        )
+        t = lambda x: torch.from_numpy(np.asarray(x))
+        ref = apc_mod.parse_predictions(
+            t(data["box_corners"]), t(data["sem_cls_prob"]),
+            t(data["objectness_prob"]), t(data["point_clouds"]), ref_cfg,
+        )
+    finally:
+        restore(saved)
+
+    from coda_neurips2023_tpu.utils import ap_calculator as ours_mod
+
+    our_cfg = ours_mod.get_ap_config_dict(
+        dataset_config=types.SimpleNamespace(num_semcls=NCLS), **overrides
+    )
+    ours = ours_mod.parse_predictions(
+        data["box_corners"], data["sem_cls_prob"], data["objectness_prob"],
+        data["point_clouds"], our_cfg,
+    )
+
+    assert len(ref) == len(ours) == B
+    for b in range(B):
+        assert len(ref[b]) == len(ours[b]), (
+            f"{variant} scan {b}: {len(ref[b])} ref vs {len(ours[b])} ours"
+        )
+        for (rc, rcorn, rs), (oc, ocorn, os_) in zip(ref[b], ours[b]):
+            assert int(rc) == int(oc), f"{variant} scan {b} class"
+            assert float(rs) == pytest.approx(float(os_), rel=1e-6, abs=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(rcorn), np.asarray(ocorn), rtol=1e-6, atol=1e-7
+            )

@@ -39,7 +39,11 @@ def make_lr_schedule(args, num_iters_per_epoch: int, host: bool = False):
         def schedule(step):
             step = float(step)
             curr_epoch_f = step / num_iters_per_epoch
-            if args.warm_lr_epochs > 0 and curr_epoch_f < args.warm_lr_epochs:
+            # INCLUSIVE boundary, matching compute_learning_rate's
+            # `curr_epoch_normalized <= warm_lr_epochs / max_epoch`
+            # (engine.py:36): at step == warm_lr_epochs * iters_per_epoch the
+            # reference still takes the warmup branch (= exactly base_lr)
+            if args.warm_lr_epochs > 0 and curr_epoch_f <= args.warm_lr_epochs:
                 return args.warm_lr + curr_epoch_f / args.warm_lr_epochs * (
                     args.base_lr - args.warm_lr
                 )
@@ -62,8 +66,8 @@ def make_lr_schedule(args, num_iters_per_epoch: int, host: bool = False):
         cos = args.final_lr + 0.5 * (args.base_lr - args.final_lr) * (
             1 + jnp.cos(jnp.pi * progress)
         )
-        use_warm = jnp.logical_and(
-            args.warm_lr_epochs > 0, curr_epoch_f < args.warm_lr_epochs
+        use_warm = jnp.logical_and(  # inclusive: see host schedule above
+            args.warm_lr_epochs > 0, curr_epoch_f <= args.warm_lr_epochs
         )
         lr = jnp.where(use_warm, warm, cos)
         if args.lr_scheduler != "cosine":

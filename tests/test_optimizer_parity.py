@@ -1,0 +1,131 @@
+"""LIVE optimizer parity: the reference's torch AdamW (+ bias/1-D no-decay
+groups, /root/reference/optimizer.py:5-36), grad clipping
+(torch.nn.utils.clip_grad_norm_, engine.py:161-162) and per-iteration
+warmup+cosine LR (engine.py:33-55, including the INCLUSIVE <= warmup
+boundary) vs our optax chain + make_lr_schedule, stepping the SAME params
+with the SAME per-step gradients across the warmup->cosine transition."""
+
+import importlib
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.ref_import import REF, chdir, install_stubs, reference_available, restore
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(), reason="reference tree absent"),
+]
+
+_REF_MODS = {}
+
+
+def _ref_modules():
+    """Import the reference optimizer + engine ONCE per process: re-importing
+    engine after restore() re-runs torch._inductor's TORCH_LIBRARY
+    registration, which torch forbids (duplicate-namespace RuntimeError).
+    The cached module objects keep their (stubbed) globals alive."""
+    if not _REF_MODS:
+        saved = install_stubs()
+        try:
+            _REF_MODS["optimizer"] = importlib.import_module("optimizer")
+            with chdir(REF):  # engine's module-level dataset configs read
+                _REF_MODS["engine"] = importlib.import_module("engine")
+        finally:
+            restore(saved)
+    return _REF_MODS["optimizer"], _REF_MODS["engine"]
+
+
+SHAPES = {
+    "l1.weight": (4, 8),   # 2-D: decayed
+    "l1.bias": (4,),       # bias: no decay under filter_biases_wd
+    "ln.weight": (8,),     # 1-D non-bias: ALSO no decay (len(shape)==1 rule)
+}
+ITERS_PER_EPOCH = 3
+STEPS = 9  # warm_lr_epochs=2 * 3 = boundary at step 6 -> crosses into cosine
+
+
+def _args(filter_biases_wd):
+    import types
+
+    return types.SimpleNamespace(
+        base_lr=5e-4, warm_lr=1e-6, warm_lr_epochs=2, final_lr=1e-6,
+        lr_scheduler="cosine", weight_decay=0.1,
+        filter_biases_wd=filter_biases_wd, clip_gradient=0.1, max_epoch=10,
+        only_prompt_loss=False,
+    )
+
+
+@pytest.mark.parametrize("filter_biases_wd", [True, False])
+def test_adamw_clip_schedule_match_torch_reference(filter_biases_wd):
+    rng = np.random.default_rng(21)
+    init = {k: rng.standard_normal(s).astype(np.float32) for k, s in SHAPES.items()}
+    grads = [
+        {k: rng.standard_normal(s).astype(np.float32) * 3.0 for k, s in SHAPES.items()}
+        for _ in range(STEPS)
+    ]
+    args = _args(filter_biases_wd)
+    max_iters = args.max_epoch * ITERS_PER_EPOCH
+
+    # ---- reference: torch module + reference build_optimizer + engine LR ----
+    ref_opt_mod, ref_engine = _ref_modules()
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = torch.nn.Linear(8, 4)
+            self.ln = torch.nn.LayerNorm(8, bias=False)
+
+    model = M()
+    with torch.no_grad():
+        model.l1.weight.copy_(torch.from_numpy(init["l1.weight"]))
+        model.l1.bias.copy_(torch.from_numpy(init["l1.bias"]))
+        model.ln.weight.copy_(torch.from_numpy(init["ln.weight"]))
+    opt = ref_opt_mod.build_optimizer(args, model)
+    name_of = {"l1.weight": model.l1.weight, "l1.bias": model.l1.bias,
+               "ln.weight": model.ln.weight}
+    ref_lrs = []
+    for it in range(STEPS):
+        ref_lrs.append(
+            ref_engine.adjust_learning_rate(args, opt, it / max_iters)
+        )
+        opt.zero_grad()
+        for k, p in name_of.items():
+            p.grad = torch.from_numpy(grads[it][k]).clone()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), args.clip_gradient)
+        opt.step()
+    ref_final = {k: p.detach().numpy().copy() for k, p in name_of.items()}
+
+    # ---- ours: optax chain (unit-LR directions, runtime lr) ----
+    import jax
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.optimizer import build_optimizer, make_lr_schedule
+
+    # map the 1-D leaves to bias-like names so the ndim>1 decay mask mirrors
+    # the reference's (len(shape)==1 or endswith('bias')) filter
+    params = {k: jnp.asarray(v) for k, v in init.items()}
+    tx, schedule = build_optimizer(args, params, ITERS_PER_EPOCH)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, g, lr):
+        updates, state = tx.update(g, state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        return params, state
+
+    for it in range(STEPS):
+        lr = float(schedule(it))
+        assert lr == pytest.approx(ref_lrs[it], rel=1e-6), (
+            f"step {it}: lr {lr} vs reference {ref_lrs[it]}"
+        )
+        g = {k: jnp.asarray(v) for k, v in grads[it].items()}
+        params, state = step(params, state, g, jnp.float32(lr))
+
+    for k in SHAPES:
+        np.testing.assert_allclose(
+            np.asarray(params[k]), ref_final[k], rtol=2e-4, atol=1e-7,
+            err_msg=k,
+        )

@@ -1,4 +1,7 @@
-"""LIVE optimizer parity: the reference's torch AdamW (+ bias/1-D no-decay
+"""LIVE misc parity vs the running reference: the optimizer stack and
+the calibration projection.
+
+Optimizer: the reference's torch AdamW (+ bias/1-D no-decay
 groups, /root/reference/optimizer.py:5-36), grad clipping
 (torch.nn.utils.clip_grad_norm_, engine.py:161-162) and per-iteration
 warmup+cosine LR (engine.py:33-55, including the INCLUSIVE <= warmup
@@ -129,3 +132,48 @@ def test_adamw_clip_schedule_match_torch_reference(filter_biases_wd):
             np.asarray(params[k]), ref_final[k], rtol=2e-4, atol=1e-7,
             err_msg=k,
         )
+
+
+def test_projection_matches_reference_sunrgbd_utils():
+    """ops/projection.py vs the reference's SUNRGBD_Calibration
+    (datasets/sunrgbd_utils.py:69-204): project_upright_depth_to_image on a
+    random cloud with a realistic (non-trivial) Rtilt/K must match -- the
+    CLIP crop rectangles are derived from these pixel coordinates."""
+    import math
+
+    rng = np.random.default_rng(3)
+    # non-trivial Rtilt: small camera tilt about x
+    a = 0.18
+    rtilt = np.array(
+        [[1, 0, 0], [0, math.cos(a), -math.sin(a)], [0, math.sin(a), math.cos(a)]],
+        dtype=np.float64,
+    )
+    kmat = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1.0]])
+    pc = rng.uniform(0.5, 4.0, (257, 3)).astype(np.float64)
+    pc[:, 2] += 0.5  # keep depth positive after tilt
+
+    saved = install_stubs()
+    try:
+        su = importlib.import_module("datasets.sunrgbd_utils")
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            f.write(" ".join(str(x) for x in rtilt.reshape(-1, order="F")) + "\n")
+            f.write(" ".join(str(x) for x in kmat.reshape(-1, order="F")) + "\n")
+            calib_path = f.name
+        calib = su.SUNRGBD_Calibration(calib_path)
+        uv_ref, _, d_ref = calib.project_upright_depth_to_image(pc)
+    finally:
+        restore(saved)
+
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.ops.projection import project_upright_depth_to_image
+
+    uv_ours, d_ours = project_upright_depth_to_image(
+        jnp.asarray(pc, jnp.float32),
+        jnp.asarray(kmat, jnp.float32),
+        jnp.asarray(rtilt, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(uv_ours), uv_ref, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(d_ours), d_ref, rtol=2e-4, atol=1e-4)

@@ -177,3 +177,52 @@ def test_projection_matches_reference_sunrgbd_utils():
     )
     np.testing.assert_allclose(np.asarray(uv_ours), uv_ref, rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(d_ours), d_ref, rtol=2e-4, atol=1e-4)
+
+
+def test_scannet_projection_matches_reference_scannet_utils():
+    """ops/projection.project_world_to_image_scannet vs the reference's
+    project_3dpoint_to_2dpoint_corners_tensor (scannet_utils.py:650-689):
+    world -> camera via the inverse 4x4 pose, then the 3x3 intrinsics block,
+    on a random corner batch with a non-trivial pose."""
+    import math
+
+    rng = np.random.default_rng(9)
+    a = 0.35
+    pose = np.eye(4)
+    pose[:3, :3] = np.array(
+        [[math.cos(a), -math.sin(a), 0],
+         [math.sin(a), math.cos(a), 0],
+         [0, 0, 1]]
+    )
+    pose[:3, 3] = [0.4, -0.2, 1.1]
+    kmat = np.eye(4)
+    kmat[0, 0], kmat[1, 1], kmat[0, 2], kmat[1, 2] = 577.8, 577.8, 320.0, 240.0
+    corners = rng.uniform(0.5, 3.0, (2, 5, 8, 3)).astype(np.float64)
+    corners[..., 2] += 1.5
+
+    saved = install_stubs()
+    try:
+        scu = importlib.import_module("datasets.scannet_utils")
+        uv_ref, d_ref = scu.project_3dpoint_to_2dpoint_corners_tensor(
+            torch.from_numpy(corners),
+            K_tensor=torch.from_numpy(np.broadcast_to(kmat, (2, 4, 4)).copy()),
+            Rtilt_tensor=torch.from_numpy(np.broadcast_to(pose, (2, 4, 4)).copy()),
+        )
+    finally:
+        restore(saved)
+
+    import jax.numpy as jnp
+
+    from coda_neurips2023_tpu.ops.projection import project_world_to_image_scannet
+
+    uv_ours, d_ours = project_world_to_image_scannet(
+        jnp.asarray(corners.reshape(2, 40, 3), jnp.float32),
+        jnp.asarray(kmat, jnp.float32),
+        jnp.asarray(pose, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(uv_ours), uv_ref.numpy().reshape(2, 40, 2), rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_ours), d_ref.numpy().reshape(2, 40), rtol=2e-4, atol=1e-4
+    )

@@ -123,7 +123,16 @@ class ScannetDetectionDataset:
             (…with_novel_cate_confi.py:506-508 select_range_list +
             reorder_list_seen_for_modal_align); pseudo boxes always kept
             (their class column already IS a bank row from discovery);
-          * anonymous val: raw id in test_range_list;
+          * anonymous val: raw id in test_range_list.  NB the reference's
+            own anonymous-val filter CRASHES on any novel box: it looks the
+            raw id up in reorder_list_seen_for_modal_align, which is built
+            from train_range_list only (scannet…confi.py:352-353 + :507-508,
+            KeyError for ids in test_range_list \ train_range_list).  The
+            path is unreachable in every shipped config (the scannet scripts
+            set --eval_every_epoch 1e10 and the release protocol evaluates
+            --dataset_name scannet50_image, whose "test" split uses the
+            named-eval class), so we keep the graceful superset: novel ids
+            map to train_max like the sunrgbd named-eval convention;
           * named eval (scannet50/cmp): raw id in class_id_to_idx, labels
             remapped to contiguous eval indices (scannet50_image.py:438-442).
         Without lists (synthetic/testing), contiguous ranges are used."""

@@ -170,9 +170,16 @@ class SunrgbdDetectionDataset:
         (…with_novel_cate_confi.py:500-565)."""
         cfg = self.dataset_config
         kept, seen_cls, seen_confi = [], [], []
-        if self.anonymous and self.split_set == "train":
+        if self.anonymous:
             # …with_novel_cate_confi.py:522-565: real boxes kept if seen;
-            # pseudo boxes always kept; labels anonymized to class 0
+            # pseudo boxes always kept; labels anonymized to class 0.
+            # This filter applies to EVERY split, not just train: the
+            # reference's `if self.split_set == 'train' or 'noveltrain':`
+            # (line 643; `or 'toilettrain'` in the non-confi variants) is
+            # always true, so the test-range block above it is dead code and
+            # the OV "test" split's GT also contains only train-range boxes
+            # (live-pinned in tests/test_dataset_live_parity.py; val has no
+            # pseudo rows because load_boxes only merges them for train)
             for row in boxes_source:
                 is_real = row[-1] == 1
                 if is_real:
@@ -198,18 +205,6 @@ class SunrgbdDetectionDataset:
                         seen_confi.append((row[8] + row[9]) / 2.0)
                     else:  # weight_one
                         seen_confi.append(1.0)
-        elif self.anonymous:
-            # anonymous val (…with_novel_cate_confi.py:498-517): test-range
-            # classes kept, anonymized; seen id = class or train_max (novel)
-            for row in boxes_source:
-                if int(row[7]) in cfg.test_range:
-                    seen_cls.append(
-                        row[7] if int(row[7]) in cfg.train_range else cfg.train_max
-                    )
-                    kept_row = row[:8].copy()
-                    kept_row[7] = 0
-                    kept.append(kept_row)
-                    seen_confi.append(1.0)
         elif getattr(cfg, "test_class_to_dix", None):
             # cmp eval variant (sunrgbd_cmp_image.py:485-507): keep only the
             # 20 OV-3DETR raw class ids, remap to cmp vocabulary order
@@ -323,11 +318,10 @@ class SunrgbdDetectionDataset:
         point_cloud, choices = random_sampling(
             rng, point_cloud, self.num_points, return_choices=True
         )
-        # NB: like the reference (uv_2d indexing after RandomCuboid,
-        # …with_novel_cate_confi.py:826-830), the rgb cloud is only used for
-        # visualization and is subsampled by the same choices modulo its length
-        # when the cuboid crop changed the index space.
-        point_cloud_rgb = point_cloud_rgb[choices % point_cloud_rgb.shape[0]]
+        # NB: the reference does NOT subsample the rgb cloud — the
+        # `point_cloud_rgb[choices]` at …with_novel_cate_confi.py:830 is
+        # commented out, so `point_clouds_rgb` keeps the full on-disk cloud in
+        # original order (live-pinned in tests/test_dataset_live_parity.py)
 
         pc_min = point_cloud[:, 0:3].min(axis=0)
         pc_max = point_cloud[:, 0:3].max(axis=0)
@@ -384,9 +378,17 @@ class SunrgbdDetectionDataset:
             }
         )
         if self.if_input_image:
-            uv_2d, _ = project_upright_depth_to_image_np(point_cloud_rgb[:, :3], k, rtilt)
+            # reference (…with_novel_cate_confi.py:666-668, 828-831): project
+            # the ORIGINAL cloud, add the pad offsets, index by the subsample
+            # choices, then round-to-int64 minus 1.  We project the subsampled
+            # rows directly (identical values when augment=False, the only
+            # path where the reference's uv is aligned at all: under
+            # augmentation it indexes pre-crop uv rows with post-crop choices
+            # and is a dead/visualization-only output).
+            uv_2d, _ = project_upright_depth_to_image_np(point_cloud[:, :3], k, rtilt)
             uv_2d[:, 0] += y_offset
             uv_2d[:, 1] += x_offset
+            uv_2d = np.round(uv_2d).astype(np.int64) - 1
             ret.update(
                 {
                     "K": k.astype(np.float32),

@@ -60,8 +60,7 @@ def main():
     batch = _synthetic_batch(cfg, batch_size=B, num_points=N)
     xyz = jnp.asarray(batch["point_clouds"][..., :3])
     idx = furthest_point_sample(xyz, M)
-    new_xyz = gather_points(jnp.transpose(xyz, (0, 2, 1)), idx)
-    new_xyz = jnp.transpose(new_xyz, (0, 2, 1))
+    new_xyz = gather_points(xyz, idx)  # channels-last: (B, M, 3)
 
     import coda_neurips2023_tpu.ops.pallas_ball_query as bq
 

@@ -101,7 +101,11 @@ class TestSunrgbdLoader:
         s1 = ds[0]
         assert int(s1["gt_box_present"].sum()) == n0 + 2
 
-    def test_val_split_keeps_test_range(self, tmp_path):
+    def test_val_split_keeps_only_train_range(self, tmp_path):
+        """The reference's anonymous val filter is the TRAIN-range filter (the
+        test-range block is dead code behind an always-true
+        `== 'train' or 'noveltrain'`; live-pinned in
+        tests/test_dataset_live_parity.py)."""
         root, calib, image = make_sunrgbd_fixture(tmp_path)
         os.rename(str(tmp_path / "sunrgbd_pc_train"), str(tmp_path / "sunrgbd_pc_val"))
         cfg = SunrgbdAnonymousConfig()
@@ -109,8 +113,18 @@ class TestSunrgbdLoader:
             cfg, "val", root_dir=root, calib_dir=calib, image_dir=image,
             num_points=256, augment=False, if_input_image=False, anonymous=True,
         )
-        s = ds[0]
-        assert np.all(s["gt_box_sem_cls_label"] == 0)
+        for i in range(len(ds)):
+            s = ds[i]
+            assert np.all(s["gt_box_sem_cls_label"] == 0)
+            n = int(s["gt_box_present"].sum())
+            raw = np.load(
+                os.path.join(str(tmp_path / "sunrgbd_pc_val"), ds.scan_names[i] + "_bbox.npy")
+            )
+            n_seen = int(sum(int(c) in cfg.train_range for c in raw[:, 7]))
+            assert n == n_seen
+            # seen ids are the true class ids (novel boxes are dropped, never
+            # remapped to train_max on val)
+            assert np.all(s["gt_box_seen_sem_cls_label"][:n] < cfg.train_max)
 
     def test_loader_batching(self, tmp_path):
         root, calib, image = make_sunrgbd_fixture(tmp_path)

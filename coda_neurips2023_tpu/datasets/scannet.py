@@ -61,7 +61,15 @@ class ScannetDetectionDataset:
     ):
         self.dataset_config = dataset_config
         self.split_set = split_set
-        self.data_path = f"{root_dir}_{split_set}" if root_dir else None
+        # reference contract (scannet…confi.py:279-282): root_dir IS the
+        # train data dir (e.g. '.../scannet_frames_25k_200cls_train'); splits
+        # without 'train' in the name derive their dir by replacing 'train'
+        # with the split name.  (SUN RGB-D differs: there root_dir is a stem
+        # and '_<split>' is appended, sunrgbd.py:94.)
+        if root_dir and "train" not in split_set:
+            self.data_path = root_dir.replace("train", split_set)
+        else:
+            self.data_path = root_dir or None
         self.param_dir = param_dir
         self.num_points = num_points
         self.use_color = use_color

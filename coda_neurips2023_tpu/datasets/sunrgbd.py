@@ -297,6 +297,11 @@ class SunrgbdDetectionDataset:
         # ---- padded labels (…with_novel_cate_confi.py:785-876) ----
         mo = self.max_num_obj
         nbox = bboxes.shape[0]
+        if not self.anonymous:
+            # named-eval contract (sunrgbd_image.py:805-806): gt_ori_box_num
+            # is the KEPT count and no pseudo path is emitted
+            ori_num = nbox
+            pseudo_box_path = ""
         angle_classes = np.zeros((mo,), np.int64)
         angle_residuals = np.zeros((mo,), np.float32)
         raw_angles = np.zeros((mo,), np.float32)
@@ -398,6 +403,10 @@ class SunrgbdDetectionDataset:
                     "x_offset": np.float32(x_offset),
                     "y_offset": np.float32(y_offset),
                     "im_name": image_name,
+                    # crop_image-mode batch inputs (sunrgbd_image.py:817,822;
+                    # trans_mtx is zeros(1) on the live padded path, :450)
+                    "calib_name": os.path.join(self.calib_dir, scan_name + ".txt"),
+                    "trans_mtx": np.zeros(1, np.float32),
                     "ori_width": np.float32(ori_w),
                     "ori_height": np.float32(ori_h),
                     "flip_array": flip_array.astype(np.float32)[0],

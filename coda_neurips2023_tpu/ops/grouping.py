@@ -87,9 +87,12 @@ def ball_query(
             )
 
             return ball_query_pallas_mxu(radius, nsample, xyz, new_xyz)
-        if os.environ.get("CODA_BQ_ALGO", "adaptive") == "window":
+        if os.environ.get("CODA_BQ_ALGO", "window") != "adaptive":
             # windowed one-hot insert, no extraction while_loop (v3 in
-            # pallas_ball_query.py); pending the on-chip sweep vs "adaptive"
+            # pallas_ball_query.py): DEFAULT since the on-chip sweep measured
+            # 66.4 vs 82.0 ms for "adaptive" at the hot eval shape, bit-
+            # identical outputs (scripts/bench_bq_sweep.py verifies every
+            # variant against v1 before timing)
             from coda_neurips2023_tpu.ops.pallas_ball_query import (
                 ball_query_pallas_v3,
             )

@@ -202,7 +202,11 @@ def _bq_kernel(r2: float, nsample: int, n_real: int,
 # intermediate also unlocks TM > 8 (fewer grid steps, better fixed-cost
 # amortization); TM/W are env-tunable for the on-chip sweep.
 # ---------------------------------------------------------------------------
-_TM3 = int(os.environ.get("CODA_BQ3_TM", "16"))
+# defaults from the on-chip sweep at the hot eval shape (B=32, N=20000,
+# M=2048, k=64, r=0.2; scripts/bench_bq_sweep.py): TM=128/W=8 ran 66.4 ms vs
+# 82.0 ms for the adaptive v1 kernel (1.24x); TM=64/16 and 128/16 ~69 ms;
+# small TM (8/16) loses badly to fixed-cost amortization (90-190 ms)
+_TM3 = int(os.environ.get("CODA_BQ3_TM", "128"))
 _W3 = int(os.environ.get("CODA_BQ3_W", "8"))
 
 

@@ -30,7 +30,13 @@ import numpy as np
 B, N, M, K = 32, 20000, 2048, 64
 RADIUS = 0.2
 ITERS, WARMUP = 12, 3
+# override with CODA_BQ_SWEEP="32x16,64x16" for a focused re-check
 SWEEP = [(8, 8), (16, 8), (16, 16), (32, 8), (32, 16), (8, 16)]
+if os.environ.get("CODA_BQ_SWEEP"):
+    SWEEP = [
+        tuple(int(v) for v in item.split("x"))
+        for item in os.environ["CODA_BQ_SWEEP"].split(",")
+    ]
 
 
 def _drain(x):

@@ -68,6 +68,14 @@ def main():
     print(f"ball_query dense+sparse: {'OK' if match else 'MISMATCH'}")
     ok &= match
 
+    # v3 (windowed insert) is the shipped default since the TM=128/W=8 sweep
+    from coda_neurips2023_tpu.ops.pallas_ball_query import ball_query_pallas_v3
+
+    got = np.asarray(ball_query_pallas_v3(R, NS, jnp.asarray(xyz), jnp.asarray(ctr)))
+    match = np.array_equal(ref, got)
+    print(f"ball_query_v3 dense+sparse: {'OK' if match else 'MISMATCH'}")
+    ok &= match
+
     got = np.asarray(fps_pallas(jnp.asarray(xyz), 512))
     from tests.golden import fps_golden
 

@@ -155,10 +155,9 @@ def _our_dataset(root, calib_dir, image_dir, split, confidence_type):
     return [ds[i] for i in range(len(ds))]
 
 
-# ours leaves these to the engine/batcher; both are constants of args, not of
-# the scan (discovery_novel = zeros(nqueries), engine.py EXTRA_BATCH_KEYS;
-# calib_name is im_name with .jpg->.txt)
-ALLOWED_MISSING = {"discovery_novel", "calib_name"}
+# ours leaves this to the engine/batcher; it is a constant of args, not of
+# the scan (discovery_novel = zeros(nqueries), engine.py EXTRA_BATCH_KEYS)
+ALLOWED_MISSING = {"discovery_novel"}
 
 EXACT_KEYS = [
     "gt_box_sem_cls_label",
@@ -202,10 +201,14 @@ def _compare_sample(ref, ours, label):
     assert not missing, f"{label}: ret_dict keys missing on our side: {missing}"
 
     for k in EXACT_KEYS:
+        if k not in ref:  # named-eval variants emit a reduced key set
+            continue
         np.testing.assert_array_equal(
             np.asarray(ref[k]), np.asarray(ours[k]), err_msg=f"{label}:{k}"
         )
     for k in CLOSE_KEYS:
+        if k not in ref:
+            continue
         np.testing.assert_allclose(
             np.asarray(ref[k], np.float64),
             np.asarray(ours[k], np.float64),
@@ -254,6 +257,16 @@ def _compare_sample(ref, ours, label):
     assert os.path.basename(str(ref["im_name"])) == os.path.basename(
         str(ours["im_name"])
     ), label
+    if "calib_name" in ref:
+        assert os.path.basename(str(ref["calib_name"])) == os.path.basename(
+            str(ours["calib_name"])
+        ), label
+    if "trans_mtx" in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref["trans_mtx"], np.float64),
+            np.asarray(ours["trans_mtx"], np.float64),
+            err_msg=f"{label}:trans_mtx",
+        )
 
 
 # split spelled indirectly ('stage2'->train) so the pytest tmp dir name never
@@ -281,3 +294,60 @@ def test_sunrgbd_live_parity(tmp_path, split_key, confidence_type):
     assert len(ref) == len(ours) == N_SCANS
     for i, (r, o) in enumerate(zip(ref, ours)):
         _compare_sample(r, o, f"{split}/{confidence_type}/scan{i}")
+
+
+def test_sunrgbd_image_live_parity(tmp_path):
+    """The 46-class named-eval dataset (`sunrgbd_image`, the release
+    protocol's real_test AND --test_only split, test_release_models.sh runs
+    1-3) run live vs our anonymous=False loader on the same tree."""
+    base = str(tmp_path / "ds")
+    os.makedirs(base)
+    root, calib_dir, image_dir = _write_tree(base)
+
+    saved = install_stubs()
+    with chdir(REF):
+        import datasets.sunrgbd_image as m
+
+        m.CALIB_PATH = calib_dir
+        m.IMAGE_PATH = image_dir
+        args = _ref_args("weight_one")
+        args.test_num_semcls = 46
+        cfg = m.SunrgbdImageDatasetConfig(if_print=False, args=args)
+        ds = m.SunrgbdImageDetectionDataset(
+            cfg,
+            split_set="val",
+            root_dir=root,
+            num_points=NPTS,
+            use_color=False,
+            use_height=False,
+            use_v1=True,
+            augment=False,
+            if_input_image=True,
+            if_image_augment=False,
+        )
+        ref = []
+        for i in range(len(ds)):
+            np.random.seed(1234 + i)
+            ref.append(ds[i])
+    restore(saved)
+
+    from coda_neurips2023_tpu.datasets.config import SunrgbdImageConfig
+    from coda_neurips2023_tpu.datasets.sunrgbd import SunrgbdDetectionDataset
+
+    cfg = SunrgbdImageConfig(train_range=(0, 10), test_range=(0, 46))
+    ds = SunrgbdDetectionDataset(
+        cfg,
+        split_set="val",
+        root_dir=root,
+        calib_dir=calib_dir,
+        image_dir=image_dir,
+        num_points=NPTS,
+        augment=False,
+        if_input_image=True,
+        anonymous=False,
+        seed=0,
+    )
+    ours = [ds[i] for i in range(len(ds))]
+    assert len(ref) == len(ours) == N_SCANS
+    for i, (r, o) in enumerate(zip(ref, ours)):
+        _compare_sample(r, o, f"sunrgbd_image/scan{i}")

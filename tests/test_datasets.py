@@ -156,8 +156,9 @@ class TestScannetLoader:
             boxes[:, 7] = rng.integers(0, 10, 3)
             np.save(os.path.join(data_dir, name + "_bbox.npy"), boxes)
         cfg = ScannetAnonymousConfig(train_range=(0, 10), test_range=(0, 60))
+        # root_dir IS the train dir (reference scannet contract)
         ds = ScannetDetectionDataset(
-            cfg, "train", root_dir=str(tmp_path / "scannet"), num_points=256,
+            cfg, "train", root_dir=str(tmp_path / "scannet_train"), num_points=256,
             augment=True, if_input_image=False, anonymous=True,
             use_pseudo_labels=True, seed=0,
         )
@@ -305,7 +306,7 @@ def test_scannet_raw_id_pipeline(tmp_path):
         train_range_list=SCANNET_TRAIN_LIST, test_range_list=SCANNET_TEST_LIST,
     )
     ds = ScannetDetectionDataset(
-        anon, "train", root_dir=str(tmp_path / "scannet"), num_points=256,
+        anon, "train", root_dir=str(tmp_path / "scannet_train"), num_points=256,
         augment=False, if_input_image=False, anonymous=True, seed=0,
     )
     s = ds[0]
@@ -319,7 +320,7 @@ def test_scannet_raw_id_pipeline(tmp_path):
         train_range_list=SCANNET_TRAIN_LIST, test_range_list=SCANNET_TEST_LIST
     )
     ds_eval = ScannetDetectionDataset(
-        ecfg, "val", root_dir=str(tmp_path / "scannet"), num_points=256,
+        ecfg, "val", root_dir=str(tmp_path / "scannet_train"), num_points=256,
         augment=False, if_input_image=False, anonymous=False, seed=0,
     )
     s = ds_eval[0]

@@ -19,7 +19,10 @@ Re-design of /root/reference/criterion.py for TPU:
     non-empty scene equally while the reference up-weights scenes on replicas
     with fewer of them (bounded by max_i(cnt/R)/cnt_i over replicas; with
     bs 8/replica and SUN RGB-D's ~0.4% empty-scene rate the discrepancy is
-    <1% of the loss on rare steps and zero on most).  Documented deviation.
+    <1% of the loss on rare steps and zero on most).  The deviation is
+    closable: --if_per_replica_loss_norm reproduces the reference DDP formula
+    bitwise (SetCriterion.per_replica_norm; tested against the replica-loop
+    oracle in tests/test_losses_tail.py).
 
 Loss registry mirrors SetCriterion (criterion.py:135-168): every loss is
 gated by `<name>_weight > 1e-32`; cardinality is log-only.  The losses active
@@ -128,12 +131,19 @@ class SetCriterion:
         loss_weight_dict: dict,
         train_range_max: int = 10,
         confidence_type: str = "non-confidence",
+        per_replica_norm: int = 0,
     ):
         self.matcher = matcher
         self.dataset_config = dataset_config
         self.loss_weight_dict = dict(loss_weight_dict)
         self.confidence_type = confidence_type
         self.train_range_max = train_range_max
+        # --if_per_replica_loss_norm: reproduce the reference's DDP semantics
+        # for loss_sem_cls_softmax_skip_none_gt_sample BITWISE -- per-replica
+        # sum/(cnt_r*nq+1e-32), averaged over the R contiguous batch shards --
+        # instead of the default global_sum/(global_cnt*nq) (module docstring
+        # deviation note).  0/1 keeps the global formula.
+        self.per_replica_norm = int(per_replica_norm)
         # per-class CE weights: bg (last) gets loss_no_object_weight
         n = dataset_config.num_semcls + 1
         w = np.ones(n, np.float32)
@@ -207,7 +217,12 @@ class SetCriterion:
 
     def loss_sem_cls_softmax_skip_none_gt_sample(self, outputs, targets, assignments):
         """criterion.py:221-248: per-sample skip of no-GT scenes; normalize by
-        (#scenes-with-objects * nprop)."""
+        (#scenes-with-objects * nprop).  With per_replica_norm=R the reference
+        DDP formula is reproduced exactly: torch computes the normalizer from
+        the REPLICA-local cnt (criterion.py:235-244) and DDP averages the R
+        losses (engine.py:152-153); batch rows are sharded contiguously over
+        the dp mesh (parallel/mesh.py shard_batch), so replica r owns rows
+        [r*B/R, (r+1)*B/R)."""
         pred_logits = outputs["sem_cls_logits"]
         bg = pred_logits.shape[-1] - 1
         gt_label = _gather_per_prop(
@@ -217,6 +232,11 @@ class SetCriterion:
         nll = _cross_entropy(pred_logits, gt_label, self.semcls_percls_weights)  # (B, nq)
         has_obj = (targets["nactual_gt"] > 0).astype(nll.dtype)  # (B,)
         per_sample = jnp.sum(nll, axis=1) * has_obj
+        r = self.per_replica_norm
+        if r > 1 and per_sample.shape[0] % r == 0:
+            sums = jnp.sum(per_sample.reshape(r, -1), axis=1)  # (R,)
+            cnts = jnp.sum(has_obj.reshape(r, -1), axis=1)  # (R,)
+            return jnp.mean(sums / (cnts * nll.shape[1] + 1e-32))
         cnt = jnp.sum(has_obj)
         return jnp.sum(per_sample) / (cnt * nll.shape[1] + 1e-32)
 
@@ -760,8 +780,10 @@ class SetCriterion:
         return total, losses
 
 
-def build_criterion(args, dataset_config):
-    """Reference criterion.py:1219-1310 (weights pulled from the same flags)."""
+def build_criterion(args, dataset_config, num_replicas: int = 1):
+    """Reference criterion.py:1219-1310 (weights pulled from the same flags).
+    `num_replicas` (the dp mesh size) only matters under
+    --if_per_replica_loss_norm; see SetCriterion.per_replica_norm."""
     matcher = Matcher(
         cost_class=args.matcher_cls_cost,
         cost_giou=args.matcher_giou_cost,
@@ -829,4 +851,5 @@ def build_criterion(args, dataset_config):
         loss_weight_dict,
         train_range_max=args.train_range_max,
         confidence_type=args.confidence_type,
+        per_replica_norm=(num_replicas if getattr(args, "if_per_replica_loss_norm", False) else 0),
     )

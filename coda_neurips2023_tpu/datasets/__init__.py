@@ -78,7 +78,12 @@ def _scannet_cfg(args, anonymous=True, num_semcls=None, cmp_vocab=False):
     )
 
 
-# wired dataset names (reference datasets/__init__.py:12-21)
+# wired dataset names (reference datasets/__init__.py:12-21).  The reference
+# additionally IMPORTS SunrgbdImageCmpDetectionDataset /
+# ScannetDetectionImageCmpDataset but never keys them in DATASET_FUNCTIONS --
+# they only back the auto-built `real_cmp_test` split; here they are also
+# accepted as first-class --dataset_name values (strict superset: the cmp
+# vocab drives ALL four splits then).
 DATASET_NAMES = (
     "scannet_anonymous",
     "scannet50_image",
@@ -88,6 +93,8 @@ DATASET_NAMES = (
     "sunrgbd_anonymous_aligned_image",
     "sunrgbd_anonymous_aligned_image_with_novel_cate_confi",
     "sunrgbd_anonymous_aligned_image_object_aug",
+    "sunrgbd_cmp_image",
+    "scannet_cmp_image",
     "synthetic",
 )
 
@@ -104,13 +111,13 @@ def build_dataset(args):
         # names get the REAL scannet configs (axis-aligned boxes, raw-id
         # vocab rebuild) so the full scannet path smokes without data
         if name.startswith("scannet"):
-            cfg = _scannet_cfg(args, anonymous=True)
-            real_cfg = _scannet_cfg(args, anonymous=False)
             cmp_cfg = _scannet_cfg(args, cmp_vocab=True)
+            cfg = cmp_cfg if name == "scannet_cmp_image" else _scannet_cfg(args, anonymous=True)
+            real_cfg = _scannet_cfg(args, anonymous=False)
         else:
-            cfg = _sunrgbd_cfg(args, anonymous=True)
-            real_cfg = _sunrgbd_cfg(args, anonymous=False)
             cmp_cfg = _sunrgbd_cfg(args, cmp_vocab=True)
+            cfg = cmp_cfg if name == "sunrgbd_cmp_image" else _sunrgbd_cfg(args, anonymous=True)
+            real_cfg = _sunrgbd_cfg(args, anonymous=False)
         mk = functools.partial(
             SyntheticDetectionDataset,
             num_points=getattr(args, "num_points", 20000),
@@ -142,9 +149,10 @@ def build_dataset(args):
         return datasets, cfg, real_cfg, cmp_cfg
 
     if name.startswith("sunrgbd"):
-        anon_cfg = _sunrgbd_cfg(args, anonymous=True)
-        real_cfg = _sunrgbd_cfg(args, anonymous=False)
         cmp_cfg = _sunrgbd_cfg(args, anonymous=False, cmp_vocab=True)
+        cmp_primary = name == "sunrgbd_cmp_image"
+        anon_cfg = cmp_cfg if cmp_primary else _sunrgbd_cfg(args, anonymous=True)
+        real_cfg = _sunrgbd_cfg(args, anonymous=False)
         use_pseudo = "with_novel_cate_confi" in name
         common = dict(
             root_dir=args.dataset_root_dir,
@@ -158,7 +166,7 @@ def build_dataset(args):
         )
         datasets = {
             "train": SunrgbdDetectionDataset(
-                anon_cfg, "train", augment=True, anonymous=True,
+                anon_cfg, "train", augment=True, anonymous=not cmp_primary,
                 use_pseudo_labels=use_pseudo,
                 if_image_augment=args.if_image_augment,
                 object_aug_dir=(
@@ -168,7 +176,7 @@ def build_dataset(args):
                 **common,
             ),
             "test": SunrgbdDetectionDataset(
-                anon_cfg, "val", augment=False, anonymous=True, **common
+                anon_cfg, "val", augment=False, anonymous=not cmp_primary, **common
             ),
             "real_test": SunrgbdDetectionDataset(
                 real_cfg, "val", augment=False, anonymous=False, **common
@@ -182,9 +190,10 @@ def build_dataset(args):
     # scannet family
     from coda_neurips2023_tpu.datasets.scannet import ScannetDetectionDataset
 
-    anon_cfg = _scannet_cfg(args, anonymous=True)
-    real_cfg = _scannet_cfg(args, anonymous=False)
     cmp_cfg = _scannet_cfg(args, cmp_vocab=True)
+    cmp_primary = name == "scannet_cmp_image"
+    anon_cfg = cmp_cfg if cmp_primary else _scannet_cfg(args, anonymous=True)
+    real_cfg = _scannet_cfg(args, anonymous=False)
     use_pseudo = "with_novel_cate_confi" in name
     common = dict(
         root_dir=args.dataset_root_dir,
@@ -196,11 +205,13 @@ def build_dataset(args):
     )
     datasets = {
         "train": ScannetDetectionDataset(
-            anon_cfg, "train", augment=True, anonymous=True,
+            anon_cfg, "train", augment=True, anonymous=not cmp_primary,
             use_pseudo_labels=use_pseudo,
             if_image_augment=args.if_image_augment, **common,
         ),
-        "test": ScannetDetectionDataset(anon_cfg, "val", augment=False, anonymous=True, **common),
+        "test": ScannetDetectionDataset(
+            anon_cfg, "val", augment=False, anonymous=not cmp_primary, **common
+        ),
         "real_test": ScannetDetectionDataset(
             real_cfg, "val", augment=False, anonymous=False, **common
         ),

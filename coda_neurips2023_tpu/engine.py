@@ -225,6 +225,25 @@ def make_eval_step(
     return eval_step
 
 
+def _local_rows(tree):
+    """Materialize this process's batch rows of globally batch-sharded jit
+    outputs as host numpy (multi-host only).  Addressable shards are deduped
+    by their batch-row start (mp replicas repeat rows) and concatenated in
+    row order."""
+    def get(x):
+        if getattr(x, "is_fully_addressable", True):
+            return x
+        by_start = {}
+        for s in x.addressable_shards:
+            start = s.index[0].start or 0
+            by_start.setdefault(start, s)
+        return np.concatenate(
+            [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0
+        )
+
+    return jax.tree.map(get, tree)
+
+
 def train_one_epoch(
     train_step,
     state: TrainState,
@@ -291,6 +310,13 @@ def train_one_epoch(
         if len(result) == 3:
             state, metrics, last_outputs = result
             if discovery_fn is not None:
+                if jax.process_count() > 1:
+                    # multi-host: host_batch holds only this process's rows
+                    # (each process owns its loader shard and writes only its
+                    # own scans' pseudo files -- the reference's per-rank
+                    # np.save, model_3detr.py:1506-1541); slice the global jit
+                    # outputs down to the matching local rows
+                    last_outputs = _local_rows(last_outputs)
                 discovery_fn(last_outputs, host_batch)
         else:
             state, metrics = result
@@ -332,7 +358,17 @@ def evaluate(
     dataset_name: str = "sunrgbd",
 ) -> APCalculator:
     """Reference evaluate (engine.py:2553-2664): stream jitted outputs into
-    the host AP meter; caller computes metrics."""
+    the host AP meter; caller computes metrics.
+
+    Multi-host (process_count>1): each process loads its own shard of the
+    eval set; jit outputs are global jax.Arrays whose remote shards are not
+    addressable here, so BOTH the outputs and the metered target keys are
+    all-gathered per batch (multihost_utils.process_allgather) and every
+    process meters the full global batch -- exactly the reference's
+    per-batch all_gather_dict of outputs+targets (engine.py:2634-2636,
+    utils/dist.py:164-186), so AP is identical on every rank.  Only the 4
+    target keys step_meter consumes are gathered (the reference gathers the
+    entire batch dict and comments on the memory cost)."""
     ap = APCalculator(
         dataset_config=dataset_config,
         ap_iou_thresh=[0.25, 0.5],
@@ -340,17 +376,39 @@ def evaluate(
         exact_eval=exact_eval,
         dataset_name=dataset_name,
     )
+    meter_keys = (
+        "point_clouds", "gt_box_corners", "gt_box_sem_cls_label", "gt_box_present",
+    )
+    multihost = jax.process_count() > 1
+
     def _meter(outputs_dev, batch, pad_mask):
-        outputs = jax.device_get(outputs_dev)
-        if pad_mask is not None and not pad_mask.all():
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            # global jit outputs: materialize the full array on every host
+            outputs = jax.tree.map(np.asarray, multihost_utils.process_allgather(outputs_dev))
+            # host-local target rows: concatenate in process order, which is
+            # the dp-mesh row order (make_mesh uses jax.devices(), sorted by
+            # process index)
+            gathered = multihost_utils.process_allgather(
+                {k: np.asarray(batch[k]) for k in meter_keys}, tiled=True
+            )
+            batch = {k: np.asarray(v) for k, v in gathered.items()}
+            if pad_mask is not None:
+                pad_mask = np.asarray(
+                    multihost_utils.process_allgather(np.asarray(pad_mask), tiled=True)
+                )
+        else:
+            outputs = jax.device_get(outputs_dev)
+            batch = {k: batch[k] for k in meter_keys if k in batch}
+        if pad_mask is not None and not np.all(pad_mask):
             # tail batch padded to static shape by the loader: drop the
-            # repeated rows before metering (padding is always a suffix)
-            n_valid = int(pad_mask.sum())
-            outputs = {k: v[:n_valid] for k, v in outputs.items()}
-            batch = {
-                k: v[:n_valid] if k != "pad_mask" else v
-                for k, v in batch.items()
-            }
+            # repeated rows before metering.  Boolean select (not a suffix
+            # slice): after a multi-host gather each process's padding sits
+            # inside the concatenation, not at the global end.
+            mask = np.asarray(pad_mask, bool)
+            outputs = {k: v[mask] for k, v in outputs.items()}
+            batch = {k: v[mask] for k, v in batch.items()}
         ap.step_meter({"outputs": outputs}, batch)
 
     # one-deep pipeline: the jitted step for batch i+1 is DISPATCHED before
@@ -372,10 +430,12 @@ def evaluate(
         outputs_dev = eval_step(state, device_batch)
         # start the device->host transfer immediately so it overlaps BOTH the
         # previous batch's host metering and this batch's device step; the
-        # later device_get then just collects finished buffers
-        for leaf in jax.tree.leaves(outputs_dev):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
+        # later device_get then just collects finished buffers.  (Multi-host:
+        # the per-batch process_allgather owns the transfer instead.)
+        if not multihost:
+            for leaf in jax.tree.leaves(outputs_dev):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
         if pending is not None:
             _meter(*pending)
         pending = (outputs_dev, batch, pad_mask)

@@ -82,6 +82,15 @@ def make_args_parser():
         help="split stage training into a targets jit + train jit instead of "
              "the fused single jit (fallback; ours, not a reference flag)",
     )
+    parser.add_argument(
+        "--if_per_replica_loss_norm", default=False, action="store_true",
+        help="normalize loss_sem_cls_softmax_skip_none_gt_sample per dp "
+             "replica exactly like the reference's DDP (per-replica "
+             "cnt_has_object; reference criterion.py:235-244 + DDP grad "
+             "averaging) instead of the default global-count formula; the "
+             "two differ (<1%% on rare steps) only when empty scenes shard "
+             "unevenly (ours, not a reference flag)",
+    )
 
     # accepted-for-compat knobs of unwired reference variants
     parser.add_argument("--cross_enc_dim", default=256, type=int)
@@ -321,8 +330,8 @@ def build_everything(args):
             "--if_with_clip --if_input_image"
         )
     model, box_processor = build_model(args, dataset_config)
-    criterion = build_criterion(args, dataset_config)
     mesh = make_mesh(min(args.ngpus, len(jax.devices())))
+    criterion = build_criterion(args, dataset_config, num_replicas=mesh.devices.size)
     # iters/epoch from the ACTUAL mesh size (ngpus may exceed the available
     # chips), so the per-iteration LR schedule matches len(train_loader)
     n_train = max(len(datasets["train"]), 1)
@@ -763,6 +772,10 @@ _INERT_COMPAT_FLAGS = (
     # path lives in CLIP/clip/model.py:1084 and is driven by unwired models;
     # ours: models/clip.py encode_text_with_prompt_embedding)
     "former_prompt_len", "later_prompt_len", "prompt_embedding_dir",
+    # accepted by the reference parser but explicitly EXCLUDED from its
+    # loss-weight application loop (reference criterion.py:1136,1152) --
+    # setting them changes nothing there either
+    "loss_3d_2d_region_embed_weight", "loss_contrast_3dto2d_text_weight",
 )
 
 

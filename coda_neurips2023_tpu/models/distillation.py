@@ -12,12 +12,17 @@ Here the whole thing is one jitted pipeline over static shapes:
   2. select `distillation_box_num` of the nq proposals per sample with an
      on-device random permutation (reference: np.random.choice,
      model_3detr.py:997);
-  3. gather-based square crop: each output pixel of the 224x224 crop is
-     bilinearly sampled from the image, with white (255) outside the crop
-     rect -- equivalent to the reference's white-square padding + resize.
-     (Divergence note: reference uses torchvision bicubic+antialias; we use
-     bilinear point sampling.  CLIP scores feed 0.3/0.5 thresholds, so
-     moderate drift is acceptable per SURVEY.md hard-part #4.)
+  3. separable-matmul square crop: the reference white-pads the crop to a
+     square and resizes with torchvision BICUBIC (model_3detr.py:362-363,
+     applied at :800/:1067; tensor path == torch F.interpolate bicubic
+     antialias, the PIL algorithm: a=-0.5 kernel, support scaled by the
+     downscale factor, window truncated at the square bounds and
+     renormalized).  Here the identical math is expressed as two
+     interpolation matmuls over the ORIGINAL image axes plus a separable
+     white-mass term (see crop_square_resize_white), so no (max_edge,
+     max_edge) square is ever materialized and shapes stay static.
+     Round-3's bilinear hat kernel was the last quantified parity deviation
+     (discovery label-agreement 0.912); the bicubic matrices close it.
   4. ONE CLIP image forward over the (B * n_sel) crop batch;
   5. scatter embeddings back to (B, nq, 512) + validity mask; derive CLIP
      weak labels/confidences (model_3detr.py:1160-1185).
@@ -43,16 +48,98 @@ def _interp_matrix(coords, size: int):
     return jnp.clip(1.0 - jnp.abs(coords[:, None] - i[None, :]), 0.0, 1.0)
 
 
-def crop_square_resize_white(image, rect, out_size: int = 224):
-    """image: (H, W, 3) float; rect: (4,) int32 [xmin, ymin, xmax, ymax].
-    Returns (out_size, out_size, 3): the rect cropped, white-padded to square
-    (centered), resized.
+def _cubic_kernel(x):
+    """PIL / torch-antialias cubic convolution kernel, a = -0.5."""
+    ax = jnp.abs(x)
+    near = ((1.5 * ax - 2.5) * ax) * ax + 1.0
+    far = ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0
+    return jnp.where(ax <= 1.0, near, jnp.where(ax < 2.0, far, 0.0))
 
-    TPU note: bilinear sampling is SEPARABLE, so instead of four 2-D gathers
-    per output pixel (XLA general gather -- the round-1 stage-1 bottleneck at
+
+def _bicubic_matrix(edge, crop_min, begin, crop_len, size_img: int,
+                    out_size: int, max_taps: int):
+    """Bicubic+antialias interpolation matrix over the ORIGINAL image axis.
+
+    Models torch F.interpolate(..., mode='bicubic', antialias=True) -- the
+    algorithm torchvision Resize runs on tensors (reference
+    model_3detr.py:362-363 via CLIP/clip/clip.py:95-101) -- applied to the
+    virtual white square of size `edge` holding the crop
+    [crop_min, crop_min+crop_len) at offset `begin`:
+      center_o = (o + 0.5) * edge / out,  filter scale s = max(edge/out, 1),
+      window [max(center-2s+.5, 0), min(center+2s+.5, edge)) truncated at the
+      square bounds, weights cubic((t - center + .5)/s) normalized over the
+      FULL window (white taps included).
+    Returns (K, m): K (out, size_img) holds the in-crop weights mapped to
+    image coordinates; m (out,) = per-row in-crop weight mass, so the white
+    contribution of a separable crop is 255 * (1 - m_y[:, None] * m_x[None]).
+    Dense by construction (one cubic eval per (o, image-coord) pair) -- no
+    scatter, and the two downstream matmuls are unchanged from the bilinear
+    version.  `max_taps` only bounds the normalizer arange; it must be >=
+    4 * max(edge/out, 1) + 2 for every edge the caller can produce."""
+    edge_f = edge.astype(jnp.float32)
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    scale_raw = edge_f / out_size
+    center = scale_raw * (o + 0.5)  # (out,)
+    scale = jnp.maximum(scale_raw, 1.0)
+    support = 2.0 * scale
+    tmin = jnp.maximum(jnp.floor(center - support + 0.5), 0.0)
+    tend = jnp.minimum(jnp.floor(center + support + 0.5), edge_f)
+    # full-window normalizer (includes taps that land on white padding)
+    k = jnp.arange(max_taps, dtype=jnp.float32)
+    t_full = tmin[:, None] + k[None, :]
+    w_full = _cubic_kernel((t_full - center[:, None] + 0.5) / scale)
+    w_full = w_full * (t_full < tend[:, None])
+    norm = jnp.sum(w_full, axis=1)
+    norm = jnp.where(norm > 0, norm, 1.0)  # degenerate rect: avoid NaN
+    # dense in-crop weights addressed by image coordinate
+    r = jnp.arange(size_img, dtype=jnp.float32)
+    t_r = r[None, :] - crop_min.astype(jnp.float32) + begin  # square coords
+    w = _cubic_kernel((t_r - center[:, None] + 0.5) / scale)
+    w = w * (t_r >= tmin[:, None]) * (t_r < tend[:, None])
+    in_crop = (r >= crop_min) & (r < (crop_min + crop_len).astype(jnp.float32))
+    kmat = w * in_crop[None, :] / norm[:, None]
+    return kmat, jnp.sum(kmat, axis=1)
+
+
+def _crop_max_taps(h_img: int, w_img: int, out_size: int) -> int:
+    import math
+
+    return int(math.ceil(4.0 * max(1.0, max(h_img, w_img) / out_size))) + 2
+
+
+def crop_square_resize_white(image, rect, out_size: int = 224):
+    """image: (H, W, 3) float in [0, 255]; rect: (4,) int32
+    [xmin, ymin, xmax, ymax].  Returns (out_size, out_size, 3): the rect
+    cropped, white-padded to square (centered), bicubic+antialias resized,
+    rounded back to integral values -- reference-faithful end to end
+    (model_3detr.py:1040-1067: uint8 white square -> torchvision
+    Resize(224, BICUBIC) -> uint8; torchvision's tensor path rounds+clamps).
+
+    TPU note: the resample is SEPARABLE, so instead of 16 2-D gathers per
+    output pixel (XLA general gather -- the round-1 stage-1 bottleneck at
     ~500 ms/step for 256 crops) the crop is two small interpolation matmuls
-    out = Ky @ image @ Kx^T that run on the MXU; identical math (hat-kernel
-    two-tap rows == the (1-wy)(1-wx) corner weights)."""
+    out = Ky @ image @ Kx^T + white-mass term that run on the MXU."""
+    h_img, w_img = image.shape[0], image.shape[1]
+    xmin, ymin, xmax, ymax = rect[0], rect[1], rect[2], rect[3]
+    w = ymax - ymin  # vertical extent (reference naming, model_3detr.py:783)
+    h = xmax - xmin  # horizontal extent
+    max_edge = jnp.maximum(w, h)
+    y_begin = ((max_edge - w) // 2).astype(jnp.float32)
+    x_begin = ((max_edge - h) // 2).astype(jnp.float32)
+
+    max_taps = _crop_max_taps(h_img, w_img, out_size)
+    ky, my = _bicubic_matrix(max_edge, ymin, y_begin, w, h_img, out_size, max_taps)
+    kx, mx = _bicubic_matrix(max_edge, xmin, x_begin, h, w_img, out_size, max_taps)
+    tmp = jnp.einsum("oh,hwc->owc", ky, image)
+    val = jnp.einsum("pw,owc->opc", kx, tmp)
+    val = val + 255.0 * (1.0 - my[:, None] * mx[None, :])[..., None]
+    return jnp.round(jnp.clip(val, 0.0, 255.0))
+
+
+def crop_square_resize_white_bilinear(image, rect, out_size: int = 224):
+    """Round-3 bilinear variant (hat-kernel matmuls, mask-after-interp white
+    padding).  Kept for A/B in scripts/measure_discovery_deviations.py; the
+    shipped path is the reference-faithful bicubic above."""
     h_img, w_img = image.shape[0], image.shape[1]
     xmin, ymin, xmax, ymax = rect[0], rect[1], rect[2], rect[3]
     w = (ymax - ymin).astype(jnp.float32)  # vertical extent (reference naming)

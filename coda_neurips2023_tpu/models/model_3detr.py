@@ -317,10 +317,18 @@ def build_3detr_predictedbox_distillation_head(args, dataset_config):
 
 
 def build_3detr_multiclasshead(args, dataset_config):
-    """Closed-vocab baseline (reference model_3detr.py:4052-4074)."""
+    """Closed-vocab baseline (reference model_3detr.py:4052-4074).
+
+    The reference baseline builds exactly 5 mlp heads -- sem_cls (2-way) +
+    4 box heads, NO text_correlation_head (model_3detr.py:2145-2176, vs the
+    distillation model's :475-511) -- so with_text_head must be False here:
+    a converted baseline .pth then matches the init tree exactly, and no
+    never-supervised parameters are trained.  Open-vocab classification for
+    this model goes through CLIP crops at eval (--if_with_clip,
+    stages.make_clip_eval_step), not through a text head."""
     model = CoDA3DETR(
         **_model_kwargs_from_args(
-            args, dataset_config, num_cls_predict=1, with_text_head=True
+            args, dataset_config, num_cls_predict=1, with_text_head=False
         )
     )
     return model, BoxProcessor(dataset_config)

@@ -138,6 +138,23 @@ def restore_params_only(checkpoint_path: str, state, model_args=None):
         params, stats, constants, _ = load_reference_checkpoint(checkpoint_path, **kw)
         import jax.numpy as jnp
 
+        # the converted tree REPLACES state.params wholesale, so a shape
+        # mismatch (e.g. a distillation-head .pth loaded into the baseline
+        # build, or vice versa) must fail HERE with the key diff, not later
+        # inside model.apply with a missing-collection error
+        def _leaf_paths(tree):
+            return {
+                jax.tree_util.keystr(kp)
+                for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+            }
+
+        want, got = _leaf_paths(state.params), _leaf_paths(params)
+        if want != got:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} does not match the built model: "
+                f"missing={sorted(want - got)[:8]} unexpected={sorted(got - want)[:8]} "
+                f"(is --model_name consistent with the checkpoint's head set?)"
+            )
         merged_constants = jax.device_get(state.constants)
         for k, v in constants.items():
             merged_constants[k] = v

@@ -1,21 +1,24 @@
 """Measure the joint effect of the documented discovery-pipeline deviations
 on stage-2 pseudo-label populations (VERDICT round-2 weak #7).
 
-The rebuild's jitted discovery (models/discovery.py) deviates from the
-reference (model_3detr.py:1212-1541) in two knobs that "should not matter":
-  * crop resampling: device bilinear point-sampling vs torchvision
-    bicubic+antialias (models/distillation.py:18-21);
+Round-3 knobs audited (both since resolved):
+  * crop resampling: round-3's bilinear point-sampling deviated from the
+    reference's torchvision bicubic+antialias; round 4 replaced the shipped
+    crop with reference-faithful bicubic matrices (crop-only deviation was
+    P=0.971 / label-agree=0.912; expected ~1.0 now);
   * survivor compaction: top-`max_discovery_crops`=32 slots by objectness vs
-    the reference's unbounded python loop.
+    the reference's unbounded python loop (measured: zero effect).
 
 This script runs, over synthetic scenes with a (shared) random CLIP tower,
 a host-side REFERENCE-FAITHFUL discovery (unbounded survivors, torch
-bicubic+antialias crops, otherwise identical steps) against our jitted
-pipeline, with each deviation also toggled in isolation, and reports
-pseudo-label set agreement: per-scene counts, precision/recall of the
-survivor sets (proposals are index-aligned, so set agreement is exact), and
-class-label agreement on common survivors.  The host path with (bilinear,
-cap=32) doubles as an oracle for the jitted implementation.
+F.interpolate bicubic+antialias crops with the uint8 round, otherwise
+identical steps) against our jitted pipeline, with each deviation also
+toggled in isolation, and reports pseudo-label set agreement: per-scene
+counts, precision/recall of the survivor sets (proposals are index-aligned,
+so set agreement is exact), and class-label agreement on common survivors.
+The host path with (crop_mode="ours", cap=32) doubles as an oracle for the
+jitted implementation; crop_mode="bilinear" re-measures the retired round-3
+kernel.
 
 Usage: python scripts/measure_discovery_deviations.py [--scenes 8] [--nq 64]
 """
@@ -104,6 +107,7 @@ def _host_discovery(
     )
     from coda_neurips2023_tpu.models.distillation import (
         crop_square_resize_white,
+        crop_square_resize_white_bilinear,
         preprocess_crops,
     )
     from coda_neurips2023_tpu.ops.projection import (
@@ -174,8 +178,13 @@ def _host_discovery(
 
         crops = []
         for j in idxs:
-            if crop_mode == "bilinear":
+            if crop_mode == "ours":  # the shipped jitted kernel (bicubic)
                 crops.append(np.asarray(crop_square_resize_white(
+                    jnp.asarray(images[i]), jnp.asarray(rects[i, j], jnp.int32),
+                    crop_size,
+                )))
+            elif crop_mode == "bilinear":  # retired round-3 kernel
+                crops.append(np.asarray(crop_square_resize_white_bilinear(
                     jnp.asarray(images[i]), jnp.asarray(rects[i, j], jnp.int32),
                     crop_size,
                 )))
@@ -193,7 +202,8 @@ def _host_discovery(
                 t = torch.from_numpy(sq).permute(2, 0, 1)[None]
                 t = F.interpolate(t, (crop_size, crop_size), mode="bicubic",
                                   antialias=True)
-                crops.append(np.clip(t[0].permute(1, 2, 0).numpy(), 0, 255))
+                # reference resizes a uint8 tensor: torchvision rounds+clamps
+                crops.append(np.round(np.clip(t[0].permute(1, 2, 0).numpy(), 0, 255)))
         crops = np.stack(crops)
         emb = np.array(clip_fn(preprocess_crops(jnp.asarray(crops))), np.float32)
         emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-32
@@ -259,23 +269,23 @@ def main():
 
     ours = _jitted_discovery(outputs_last, batch, clip_fn, bank, **kw)
     oracle = _host_discovery(outputs_last, batch, clip_fn, bank,
-                             crop_mode="bilinear", cap=32, **kw)
+                             crop_mode="ours", cap=32, **kw)
     ref_full = _host_discovery(outputs_last, batch, clip_fn, bank,
-                               crop_mode="bicubic", cap=None, **kw)
+                               crop_mode="torch", cap=None, **kw)
     cap_only = _host_discovery(outputs_last, batch, clip_fn, bank,
-                               crop_mode="bicubic", cap=32, **kw)
+                               crop_mode="torch", cap=32, **kw)
     crop_only = _host_discovery(outputs_last, batch, clip_fn, bank,
                                 crop_mode="bilinear", cap=None, **kw)
 
     print("scenes:", a.scenes, "nq:", a.nq,
           "thresholds: obj>=%.2f clip>%.2f" % (a.save_objectness, a.keep_thres))
-    print("oracle (jitted vs host bilinear+cap32, should be ~exact):",
+    print("oracle (jitted vs host same-kernel+cap32, should be ~exact):",
           agreement(ours, oracle))
-    print("JOINT deviation (ours vs reference-faithful bicubic+unbounded):",
+    print("JOINT deviation (ours vs reference-faithful torch-bicubic+unbounded):",
           agreement(ours, ref_full))
-    print("  cap-only effect   (bicubic+cap32 vs bicubic+unbounded):",
+    print("  cap-only effect   (torch-bicubic+cap32 vs unbounded):",
           agreement(cap_only, ref_full))
-    print("  crop-only effect  (bilinear+unbounded vs bicubic+unbounded):",
+    print("  retired-bilinear  (bilinear+unbounded vs torch-bicubic+unbounded):",
           agreement(crop_only, ref_full))
 
 

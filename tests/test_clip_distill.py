@@ -90,8 +90,9 @@ class TestCropResize:
         img = jnp.asarray(rng.uniform(0, 255, (64, 64, 3)).astype(np.float32))
         rect = jnp.asarray([0, 0, 64, 64], jnp.int32)
         out = crop_square_resize_white(img, rect, 64)
-        # square crop of the full square image at same size ~ identity (bilinear)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=2.0)
+        # same-size square crop: bicubic taps collapse to the identity; only
+        # the reference-faithful uint8 rounding remains
+        np.testing.assert_allclose(np.asarray(out), np.round(np.asarray(img)), atol=0.51)
 
     def test_nonsquare_crop_pads_white(self):
         img = jnp.zeros((64, 64, 3), jnp.float32)
@@ -105,6 +106,46 @@ class TestCropResize:
         rect = jnp.asarray([5, 5, 5, 5], jnp.int32)
         out = np.asarray(crop_square_resize_white(img, rect, 16))
         assert np.all(np.isfinite(out))
+
+    def test_matches_torch_bicubic_antialias_oracle(self):
+        """The shipped crop == the reference chain (model_3detr.py:1040-1067):
+        white uint8 square -> torchvision Resize(S, BICUBIC) -> uint8, whose
+        tensor backend is torch F.interpolate(bicubic, antialias=True) with a
+        round+clamp.  Continuous values agree to f32 accumulation noise, so
+        after both sides round, any residual is a +-1 quantization flip at an
+        exact .5 boundary; require <0.1% of pixels differ and never by >1."""
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(7)
+        diffs, total = 0, 0
+        for (h_img, w_img), rect, out_size in [
+            ((73, 53), (4, 9, 51, 60), 32),   # downscale, tall crop
+            ((73, 53), (10, 20, 14, 23), 32),  # upscale, tiny crop
+            ((96, 128), (0, 0, 128, 96), 48),  # full image, wide
+            ((60, 60), (7, 7, 8, 59), 24),     # 1-px-wide column
+        ]:
+            img = rng.integers(0, 256, (h_img, w_img, 3)).astype(np.float32)
+            ours = np.asarray(
+                crop_square_resize_white(
+                    jnp.asarray(img), jnp.asarray(rect, jnp.int32), out_size
+                )
+            )
+            x0, y0, x1, y1 = rect
+            crop = img[y0:y1, x0:x1]
+            ch, cw = crop.shape[:2]
+            edge = max(ch, cw)
+            sq = np.full((edge, edge, 3), 255.0, np.float32)
+            oy, ox = (edge - ch) // 2, (edge - cw) // 2
+            sq[oy : oy + ch, ox : ox + cw] = crop
+            t = torch.from_numpy(sq).permute(2, 0, 1)[None]
+            t = F.interpolate(t, (out_size, out_size), mode="bicubic", antialias=True)
+            want = np.round(np.clip(t[0].permute(1, 2, 0).numpy(), 0, 255))
+            d = np.abs(ours - want)
+            assert d.max() <= 1.0, d.max()
+            diffs += int((d > 0).sum())
+            total += d.size
+        assert diffs / total < 1e-3, (diffs, total)
 
 
 class TestDistillationTargets:

@@ -170,3 +170,64 @@ def test_build_criterion_accepts_all_registry_weights():
         "loss_feat_seen_sigmoid_with_full_image_loss",
     ):
         assert k in crit.loss_functions
+
+
+def test_skip_none_gt_per_replica_norm_matches_ddp_oracle():
+    """--if_per_replica_loss_norm reproduces the reference DDP semantics
+    bitwise under UNEVEN empty-scene sharding: torch computes the normalizer
+    from the replica-local cnt_has_object (reference criterion.py:235-244) and
+    DDP averages the R per-replica losses (engine.py:152-153)."""
+    rng = np.random.default_rng(3)
+    # ncls matches SunrgbdAnonymousConfig.num_semcls (1): the criterion's
+    # per-class weight vector is built from the dataset config
+    b, nq, ncls, r = 8, 6, 1, 4  # 2 scenes/replica
+    logits = rng.standard_normal((b, nq, ncls + 1)).astype(np.float32)
+    labels = rng.integers(0, ncls, (b, 2)).astype(np.int32)
+    # replica 0 has ZERO non-empty scenes; replica 1 has one; 2-3 are full
+    nactual = np.array([0, 0, 0, 2, 1, 2, 2, 1], np.int32)
+    outputs = {"sem_cls_logits": jnp.asarray(logits)}
+    targets = {
+        "gt_box_sem_cls_label": jnp.asarray(labels),
+        "nactual_gt": jnp.asarray(nactual),
+    }
+    matched = rng.integers(0, 2, (b, nq))
+    assignments = fake_assignments(matched)
+    assignments["per_prop_gt_inds"] = jnp.asarray(
+        rng.integers(0, 2, (b, nq)).astype(np.int32)
+    )
+
+    crit_g = make_criterion()
+    crit_r = make_criterion()
+    crit_r.per_replica_norm = r
+    got_global = float(
+        crit_g.loss_sem_cls_softmax_skip_none_gt_sample(outputs, targets, assignments)
+    )
+    got_replica = float(
+        crit_r.loss_sem_cls_softmax_skip_none_gt_sample(outputs, targets, assignments)
+    )
+
+    # numpy oracle: the reference per-replica loop + DDP mean
+    w = np.ones(ncls + 1, np.float32)
+    w[-1] = 0.05
+    gt = np.take_along_axis(labels, np.asarray(assignments["per_prop_gt_inds"]), 1)
+    gt = np.where(np.asarray(matched) > 0, gt, ncls)
+    logp = logits - np.log(np.sum(np.exp(logits), -1, keepdims=True))
+    nll = -w[gt] * np.take_along_axis(logp, gt[..., None], -1)[..., 0]  # (B, nq)
+    per_replica = []
+    for rep in range(r):
+        rows = slice(rep * b // r, (rep + 1) * b // r)
+        final, cnt = 0.0, 0.0
+        for i in range(rep * b // r, (rep + 1) * b // r):
+            if nactual[i] > 0:
+                final += nll[i].sum()
+                cnt += 1.0
+        per_replica.append(final / (cnt * nq + 1e-32))
+    want = float(np.mean(per_replica))
+    np.testing.assert_allclose(got_replica, want, rtol=1e-5)
+    # and the deviation is real under this sharding: global formula differs
+    assert abs(got_global - want) > 1e-4
+    # even sharding: both formulas agree
+    targets_even = dict(targets, nactual_gt=jnp.asarray([1, 0, 2, 0, 1, 0, 2, 0]))
+    g = float(crit_g.loss_sem_cls_softmax_skip_none_gt_sample(outputs, targets_even, assignments))
+    pr = float(crit_r.loss_sem_cls_softmax_skip_none_gt_sample(outputs, targets_even, assignments))
+    np.testing.assert_allclose(g, pr, rtol=1e-6)

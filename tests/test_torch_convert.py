@@ -210,3 +210,87 @@ def test_export_checkpoint_to_torch_end_to_end(tmp_path):
     for (pa, a), (pb, b) in zip(sorted(want, key=key), sorted(got, key=key)):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_baseline_head_set(tmp_path):
+    """A reference BASELINE .pth (Model3DETRMultiClassHead: 5 mlp heads, NO
+    text_correlation_head, model_3detr.py:2145-2176) converts into the
+    with_text_head=False build with an EXACT tree match and runs a forward --
+    the round-3 verdict's broken-by-construction path."""
+    torch = pytest.importorskip("torch")
+
+    from coda_neurips2023_tpu.utils.torch_convert import load_reference_checkpoint
+
+    sd = fake_reference_sd()
+    for k in list(sd):
+        if "text_correlation_head" in k:
+            del sd[k]
+    path = tmp_path / "baseline.pth"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                "epoch": 7}, path)
+    params, stats, constants, _ = load_reference_checkpoint(
+        str(path), enc_nlayers=ENC_L, dec_nlayers=DEC_L
+    )
+
+    cfg = SunrgbdAnonymousConfig()
+    model = CoDA3DETR(
+        dataset_config=cfg, enc_dim=ENC_DIM, dec_dim=DEC_DIM,
+        enc_nlayers=ENC_L, dec_nlayers=DEC_L, enc_ffn_dim=ENC_FFN,
+        dec_ffn_dim=DEC_FFN, preenc_npoints=64, nqueries=16,
+        with_text_head=False,
+    )
+    rng = np.random.default_rng(1)
+    pc = jnp.asarray(rng.uniform(-3, 3, (2, 256, 3)).astype(np.float32))
+    inputs = {
+        "point_clouds": pc,
+        "point_cloud_dims_min": jnp.min(pc, axis=1),
+        "point_cloud_dims_max": jnp.max(pc, axis=1),
+    }
+    ref = model.init(jax.random.PRNGKey(0), inputs, train=False)
+    assert _paths(ref["params"]) == _paths(params)
+    assert _paths(ref["batch_stats"]) == _paths(stats)
+    out = model.apply(
+        {"params": params, "batch_stats": stats, "constants": constants},
+        inputs, train=False,
+    )
+    assert "text_correlation_embedding" not in out
+    assert np.all(np.isfinite(np.asarray(out["box_corners"])))
+
+
+def test_restore_params_only_rejects_mismatched_head_set(tmp_path):
+    """Loading a baseline .pth into the distillation build must fail loudly
+    at restore time with the key diff, not later inside model.apply."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    from coda_neurips2023_tpu.engine import create_train_state
+    from coda_neurips2023_tpu.utils.io import restore_params_only
+
+    sd = fake_reference_sd()
+    for k in list(sd):
+        if "text_correlation_head" in k:
+            del sd[k]
+    path = tmp_path / "baseline.pth"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                "epoch": 0}, path)
+
+    cfg = SunrgbdAnonymousConfig()
+    model = CoDA3DETR(  # distillation build: text head present
+        dataset_config=cfg, enc_dim=ENC_DIM, dec_dim=DEC_DIM,
+        enc_nlayers=ENC_L, dec_nlayers=DEC_L, enc_ffn_dim=ENC_FFN,
+        dec_ffn_dim=DEC_FFN, preenc_npoints=64, nqueries=16,
+    )
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.uniform(-3, 3, (2, 256, 3)).astype(np.float32))
+    batch = {
+        "point_clouds": pc,
+        "point_cloud_dims_min": pc.min(1),
+        "point_cloud_dims_max": pc.max(1),
+    }
+    state = create_train_state(model, optax.adamw(1e-3), jax.random.PRNGKey(0), batch)
+
+    class Args:
+        enc_nlayers, dec_nlayers, enc_nhead, dec_nhead = ENC_L, DEC_L, 4, 4
+
+    with pytest.raises(ValueError, match="text_correlation_head"):
+        restore_params_only(str(path), state, model_args=Args())

@@ -76,17 +76,30 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / ITERS
 
+    # achieved-vs-peak roofline from the compiled executable's own cost
+    # analysis (utils/flops.py); the eval path is gather/VPU-bound by the
+    # reference's protocol, so the HBM-utilization figure is the honest
+    # headroom statement and a low MXU MFU is expected
+    from coda_neurips2023_tpu.utils.flops import compiled_costs, roofline
+
+    rf = roofline(compiled_costs(eval_forward, variables, inputs), dt)
+
     scenes_per_sec = BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": "sunrgbd_eval_scenes_per_sec_per_chip",
-                "value": round(scenes_per_sec, 2),
-                "unit": "scenes/s",
-                "vs_baseline": round(scenes_per_sec / REF_SCENES_PER_SEC_V100, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "sunrgbd_eval_scenes_per_sec_per_chip",
+        "value": round(scenes_per_sec, 2),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / REF_SCENES_PER_SEC_V100, 3),
+        "baseline_note": (
+            "vs_baseline divides by REF_SCENES_PER_SEC_V100=100.0, a "
+            "PLACEHOLDER pegged to this bench's round-1 value (the reference "
+            "repo archives no throughput; its engine.py:210-217 only prints "
+            "iter times); it is a cross-round series anchor, not a measured "
+            "V100 number"
+        ),
+    }
+    record.update(rf)  # tflops_per_s / mfu / hbm_gb_per_s / hbm_util
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

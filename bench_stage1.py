@@ -113,6 +113,13 @@ def main():
         f"stage-1 train step [{cli_args.dtype}]: {dt*1000:.0f} ms, "
         f"{B/dt:.1f} scenes/s", flush=True
     )
+    from coda_neurips2023_tpu.utils.flops import compiled_costs, roofline_str
+
+    # two-phase mode wraps two jits in python (no .lower) -> prints n/a;
+    # --fused exposes the single jit and gets the real roofline
+    print("stage-1 " + roofline_str(
+        compiled_costs(step, state, batch, jax.random.PRNGKey(1)), dt
+    ), flush=True)
 
     if cli_args.decompose:
         import jax.numpy as jnp
@@ -126,6 +133,10 @@ def main():
         float(jnp.sum(tgt["gt_text_correlation_embedding_mask"]))
         dt_a = (time.perf_counter() - t0) / iters
         print(f"phase A (fwd + crops + CLIP): {dt_a*1000:.0f} ms")
+        print("phase A " + roofline_str(
+            compiled_costs(targets_step, state, batch, jax.random.PRNGKey(1)),
+            dt_a,
+        ))
 
         from coda_neurips2023_tpu.engine import make_train_step
 
@@ -146,6 +157,9 @@ def main():
         float(m2["loss"])
         dt_b = (time.perf_counter() - t0) / iters
         print(f"phase B (train fwd+bwd+opt): {dt_b*1000:.0f} ms")
+        print("phase B " + roofline_str(
+            compiled_costs(tstep, s2, batch_b, jax.random.PRNGKey(1)), dt_b
+        ))
 
         # CLIP image tower alone at the crop batch size
         n_crops = B * args.distillation_box_num
@@ -163,8 +177,12 @@ def main():
         for _ in range(iters):
             e = clip_fwd(clip_vars, crops)
         float(jnp.sum(e))
-        print(f"CLIP tower alone ({n_crops} crops): "
-              f"{(time.perf_counter()-t0)/iters*1000:.0f} ms")
+        dt_c = (time.perf_counter() - t0) / iters
+        print(f"CLIP tower alone ({n_crops} crops): {dt_c*1000:.0f} ms")
+        # the one matmul-dominated component: MFU is meaningful here
+        print("CLIP tower " + roofline_str(
+            compiled_costs(clip_fwd, clip_vars, crops), dt_c
+        ))
 
     if cli_args.agreement:
         # fp32-vs-bf16 CLIP gate agreement on the SAME batch/rng: weak-label

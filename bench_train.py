@@ -82,6 +82,9 @@ def main():
         float(m["loss"])
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {dt*1000:.0f} ms/step, {B/dt:.1f} scenes/s")
+        from coda_neurips2023_tpu.utils.flops import compiled_costs, roofline_str
+
+        print(f"{name} {roofline_str(compiled_costs(step, state, batch, rng), dt)}")
         # per-iteration host sync (the reference engine's every-step loss
         # check, engine.py:152-157; our train_one_epoch batches the finite
         # check every log_every steps instead -- this quantifies the gain)

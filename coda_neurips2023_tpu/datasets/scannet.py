@@ -67,7 +67,19 @@ class ScannetDetectionDataset:
         # with the split name.  (SUN RGB-D differs: there root_dir is a stem
         # and '_<split>' is appended, sunrgbd.py:94.)
         if root_dir and "train" not in split_set:
-            self.data_path = root_dir.replace("train", split_set)
+            # replace 'train' only in the BASENAME: a parent dir like
+            # 'training_data/' must not become 'valing_data/' (the reference
+            # str.replace hits every occurrence in the full path)
+            head, base = os.path.split(os.path.normpath(root_dir))
+            derived = os.path.join(head, base.replace("train", split_set))
+            if derived == os.path.normpath(root_dir):
+                raise ValueError(
+                    f"scannet split {split_set!r}: root_dir basename"
+                    f" {base!r} contains no 'train' to substitute -- the"
+                    " val split would silently read the train directory"
+                    " (reference contract: root_dir IS the train dir)"
+                )
+            self.data_path = derived
         else:
             self.data_path = root_dir or None
         self.param_dir = param_dir

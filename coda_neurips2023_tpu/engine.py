@@ -386,7 +386,11 @@ def evaluate(
             from jax.experimental import multihost_utils
 
             # global jit outputs: materialize the full array on every host
-            outputs = jax.tree.map(np.asarray, multihost_utils.process_allgather(outputs_dev))
+            # (tiled=True is REQUIRED for non-fully-addressable inputs -- it
+            # reassembles the global value instead of stacking a process axis)
+            outputs = jax.tree.map(
+                np.asarray, multihost_utils.process_allgather(outputs_dev, tiled=True)
+            )
             # host-local target rows: concatenate in process order, which is
             # the dp-mesh row order (make_mesh uses jax.devices(), sorted by
             # process index)

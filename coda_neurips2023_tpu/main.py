@@ -823,19 +823,28 @@ def main(args=None):
             "pass --if_with_clip or --test_num_semcls 1" % args.test_num_semcls
         )
     ctx = build_everything(args)
-    if (
-        args.show_only
-        or args.show_box_points
-        or args.save_novel_only
-        or args.save_novel_with_class_only
-        or args.save_seen_feat_only
-        or args.crop_only
-        or args.cal_class_only
-    ):
-        return run_mode(args, ctx)
-    if args.test_only:
-        return test_model(args, ctx)
-    return do_train(args, ctx)
+    try:
+        if (
+            args.show_only
+            or args.show_box_points
+            or args.save_novel_only
+            or args.save_novel_with_class_only
+            or args.save_seen_feat_only
+            or args.crop_only
+            or args.cal_class_only
+        ):
+            return run_mode(args, ctx)
+        if args.test_only:
+            return test_model(args, ctx)
+        return do_train(args, ctx)
+    finally:
+        # drain async checkpoint commits HERE, not from the atexit hook:
+        # during interpreter shutdown orbax's commit coroutine can no longer
+        # schedule executor work ("cannot schedule new futures after
+        # shutdown" observed at the end of an otherwise-green CLI run)
+        from coda_neurips2023_tpu.utils.io import wait_for_pending_saves
+
+        wait_for_pending_saves()
 
 
 if __name__ == "__main__":

@@ -36,10 +36,10 @@ from coda_neurips2023_tpu.models.helpers import ACT
 # backend only; "0" forces the stock flax layer everywhere.  Train mode
 # ALWAYS uses stock flax (the kernel does not implement attention-weight
 # dropout), so training numerics are unchanged by this switch.
-# DEFAULT "0" until the on-chip A/B lands (the axon tunnel died mid-round-3
-# before the kernel could compile on real hardware; flip to "auto" with the
-# measured numbers -- see BASELINE.md).
-_FUSED_MASKED_ATTN = os.environ.get("CODA_MASKED_ATTN", "0")
+# DEFAULT "auto" since the round-4 on-chip A/B: eval bench 267.6 vs 252.2
+# scenes/s stock, back-to-back (+6%); the decoder cross shape needed a
+# raised scoped-VMEM limit to compile at all (BASELINE.md round-4 table).
+_FUSED_MASKED_ATTN = os.environ.get("CODA_MASKED_ATTN", "auto")
 # operand dtype of the kernel's two big dots; bf16 matches the effective
 # precision of the incumbent XLA f32 matmuls on v5e (allow_excess_precision)
 _FUSED_MASKED_ATTN_DTYPE = os.environ.get("CODA_MASKED_ATTN_DTYPE", "bfloat16")

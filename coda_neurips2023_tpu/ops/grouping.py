@@ -87,7 +87,14 @@ def ball_query(
             )
 
             return ball_query_pallas_mxu(radius, nsample, xyz, new_xyz)
-        if os.environ.get("CODA_BQ_ALGO", "window") != "adaptive":
+        algo = os.environ.get("CODA_BQ_ALGO", "window")
+        if algo not in ("window", "adaptive"):
+            # a mistyped env var must not silently remap to a different kernel
+            raise ValueError(
+                f"CODA_BQ_ALGO={algo!r}: expected 'window' or 'adaptive'"
+                " (MXU variant is selected via CODA_BQ_MXU=1)"
+            )
+        if algo == "window":
             # windowed one-hot insert, no extraction while_loop (v3 in
             # pallas_ball_query.py): DEFAULT since the on-chip sweep measured
             # 66.4 vs 82.0 ms for "adaptive" at the hot eval shape, bit-

@@ -106,6 +106,18 @@ def _impl(q, k, v, qxyz, kxyz_t, radius, compute_dtype):
     skv = v.shape[2]
     tq = _TQ
     cdt = jnp.dtype(compute_dtype)
+    # per-cell VMEM: q/out (h,tq,d) + k/v (h,d,skv)/(h,skv,d) + (tq,skv)
+    # scores, DOUBLE-buffered by the pipeline.  The decoder cross shape
+    # (h=4, d=128, skv=2048) needs ~17 MB -- over the 16 MB default scoped
+    # limit but nowhere near the 128 MB physical VMEM, so size the limit to
+    # the actual footprint (+50% headroom for Mosaic scratch) instead of
+    # gating the shape out (measured OOM: BENCH r4 A/B, 16.91M vs 16.00M).
+    elt = 4  # f32 operands in HBM; cdt casts happen in-kernel
+    per_buf = (2 * h * tq * d + 2 * h * skv * d + tq * skv + 3 * (tq + skv)) * elt
+    vmem_limit = min(int(per_buf * 2 * 1.5) + (1 << 20), 100 * (1 << 20))
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_limit, 32 * (1 << 20))
+    )
     return pl.pallas_call(
         functools.partial(_kernel, radius, h, cdt),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
@@ -124,6 +136,7 @@ def _impl(q, k, v, qxyz, kxyz_t, radius, compute_dtype):
         ],
         out_specs=pl.BlockSpec((1, h, tq, d), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=params,
         interpret=_INTERPRET,
     )(q, k, v, qxyz, kxyz_t)
 

@@ -55,10 +55,20 @@ def shard_batch(mesh: Mesh, batch):
 
     Every array in the batch must have a leading batch dim divisible by the
     mesh size (the data pipeline pads to the global batch size).
+
+    Multi-host (the mesh spans >1 process): `batch` holds only THIS process's
+    rows (its loader shard, the reference's DistributedSampler contract,
+    /root/reference/main.py:1014) and is assembled into a global jax.Array
+    with `make_array_from_process_local_data` -- global row order is process
+    order because `make_mesh` lays devices out in `jax.devices()` order
+    (process-major).  Single-process keeps the plain device_put fast path.
     """
     sharding = batch_sharding(mesh)
+    multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
 
     def put(x):
+        if multiprocess and np.ndim(x) > 0:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)

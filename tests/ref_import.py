@@ -143,7 +143,15 @@ def install_stubs():
     # reference-root modules (criterion.py, optimizer.py, engine.py)
     sys.path.insert(0, REF)
 
-    # torchvision stub (only names touched at import / in the non-CLIP paths)
+    # torchvision stubs.  Names touched only at import stay inert (_NoOp);
+    # the transforms + ops.nms that the stage-2 discovery path CALLS
+    # (model_3detr.py:1297-1541, CLIP/clip/clip.py:95-101) get functional
+    # implementations with torchvision's tensor-backend semantics
+    # (Resize == F.interpolate(mode, antialias=True), the contract our
+    # device crop path models -- models/distillation.py).
+    import torch
+    import torch.nn.functional as _F
+
     tv = types.ModuleType("torchvision")
     tvt = types.ModuleType("torchvision.transforms")
 
@@ -158,12 +166,89 @@ def install_stubs():
         BICUBIC = "bicubic"
         BILINEAR = "bilinear"
 
-    for name in ("Resize", "Compose", "CenterCrop", "ToTensor", "Normalize"):
-        setattr(tvt, name, _NoOp)
+    class _Resize:
+        """torchvision.transforms.Resize on tensors: int size == smaller edge
+        -> size (aspect preserved), antialias semantics of the tensor
+        backend."""
+
+        def __init__(self, size, interpolation="bicubic", **kw):
+            self.size = size
+            self.mode = getattr(interpolation, "value", interpolation)
+
+        def __call__(self, x):
+            batched = x.dim() == 4
+            if not batched:
+                x = x.unsqueeze(0)
+            h, w = x.shape[-2:]
+            if isinstance(self.size, int):
+                if h <= w:
+                    out = (self.size, max(1, int(round(w * self.size / h))))
+                else:
+                    out = (max(1, int(round(h * self.size / w))), self.size)
+            else:
+                out = tuple(self.size)
+            y = _F.interpolate(x.float(), size=out, mode=self.mode,
+                               antialias=True).to(x.dtype)
+            return y if batched else y.squeeze(0)
+
+    class _CenterCrop:
+        def __init__(self, size, **kw):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+        def __call__(self, x):
+            th, tw = self.size
+            h, w = x.shape[-2:]
+            i, j = max(0, (h - th) // 2), max(0, (w - tw) // 2)
+            return x[..., i:i + th, j:j + tw]
+
+    class _Normalize:
+        def __init__(self, mean, std, **kw):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            mean = torch.as_tensor(self.mean, dtype=x.dtype).view(-1, 1, 1)
+            std = torch.as_tensor(self.std, dtype=x.dtype).view(-1, 1, 1)
+            return (x - mean) / std
+
+    class _Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    def _nms_stub(boxes, scores, iou_threshold):
+        """torchvision.ops.nms: greedy, score-descending, suppress IoU >
+        threshold, returns kept indices (int64)."""
+        b = boxes.detach().cpu().numpy().astype(np.float64)
+        s = scores.detach().cpu().numpy().astype(np.float64)
+        order = np.argsort(-s, kind="stable")
+        areas = np.maximum(0.0, b[:, 2] - b[:, 0]) * np.maximum(0.0, b[:, 3] - b[:, 1])
+        keep = []
+        while order.size:
+            i = order[0]
+            keep.append(int(i))
+            rest = order[1:]
+            xx1 = np.maximum(b[i, 0], b[rest, 0])
+            yy1 = np.maximum(b[i, 1], b[rest, 1])
+            xx2 = np.minimum(b[i, 2], b[rest, 2])
+            yy2 = np.minimum(b[i, 3], b[rest, 3])
+            inter = np.maximum(0.0, xx2 - xx1) * np.maximum(0.0, yy2 - yy1)
+            iou = inter / np.maximum(areas[i] + areas[rest] - inter, 1e-12)
+            order = rest[iou <= iou_threshold]
+        return torch.as_tensor(keep, dtype=torch.int64, device=boxes.device)
+
+    tvt.Resize = _Resize
+    tvt.Compose = _Compose
+    tvt.CenterCrop = _CenterCrop
+    tvt.ToTensor = _NoOp  # PIL-only entry point; unused on tensor inputs
+    tvt.Normalize = _Normalize
     tvt.InterpolationMode = _Interp
     tv.transforms = tvt
     tvo = types.ModuleType("torchvision.ops")
-    tvo.nms = _NoOp()
+    tvo.nms = _nms_stub
     tvo.sigmoid_focal_loss = _sigmoid_focal_loss_stub
     tv.ops = tvo
     tvm = types.ModuleType("torchvision.models")

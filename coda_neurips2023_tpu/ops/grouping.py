@@ -88,13 +88,24 @@ def ball_query(
 
             return ball_query_pallas_mxu(radius, nsample, xyz, new_xyz)
         algo = os.environ.get("CODA_BQ_ALGO", "window")
-        if algo not in ("window", "adaptive"):
+        if algo not in ("window", "adaptive", "sorted"):
             # a mistyped env var must not silently remap to a different kernel
             raise ValueError(
-                f"CODA_BQ_ALGO={algo!r}: expected 'window' or 'adaptive'"
-                " (MXU variant is selected via CODA_BQ_MXU=1)"
+                f"CODA_BQ_ALGO={algo!r}: expected 'window', 'adaptive' or"
+                " 'sorted' (MXU variant is selected via CODA_BQ_MXU=1)"
             )
-        if algo == "window":
+        if algo == "sorted" and xyz.shape[1] >= 4096:
+            # sort-assisted windowed kernel (pallas_ball_query_sorted.py):
+            # per-tile spatial candidate windows over block-sorted points;
+            # exact (v3 fallback on window overflow).  Small N keeps v3 --
+            # the sort/window bookkeeping only pays off when N spans many
+            # lane chunks.
+            from coda_neurips2023_tpu.ops.pallas_ball_query_sorted import (
+                ball_query_pallas_sorted,
+            )
+
+            return ball_query_pallas_sorted(radius, nsample, xyz, new_xyz)
+        if algo in ("window", "sorted"):  # small-N "sorted" keeps v3
             # windowed one-hot insert, no extraction while_loop (v3 in
             # pallas_ball_query.py): DEFAULT since the on-chip sweep measured
             # 66.4 vs 82.0 ms for "adaptive" at the hot eval shape, bit-

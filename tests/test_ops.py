@@ -118,6 +118,55 @@ class TestBallQuery:
         want = ball_query_golden(radius, nsample, xyz, new_xyz)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize(
+        "B,N,M,radius,nsample,scale,ws,cluster",
+        [
+            # dense (>k hits per center: exercises the k-smallest-index cap),
+            # multi-block extraction, padded center rows
+            (2, 300, 33, 0.5, 8, 0.25, 128, False),
+            # sparse: zero-hit rows + far centers
+            (1, 300, 17, 0.15, 8, 1.0, 128, False),
+            # ws < blk with spread-out centers: windows overflow -> the
+            # whole call takes the v3 fallback branch of lax.cond
+            (2, 260, 19, 0.4, 8, 0.3, 64, False),
+            # ws < blk with CLUSTERED centers: non-trivial aligned window
+            # starts without overflow (the intended fast path)
+            (2, 300, 25, 0.1, 8, 0.5, 64, True),
+        ],
+    )
+    def test_pallas_sorted_interpret_matches_golden(
+        self, monkeypatch, B, N, M, radius, nsample, scale, ws, cluster
+    ):
+        # sort-assisted windowed kernel correctness via interpret mode on
+        # CPU; block size shrunk so multi-block windowing runs in test time
+        from jax.experimental.pallas import tpu as pltpu
+        import coda_neurips2023_tpu.ops.pallas_ball_query as bq
+        import coda_neurips2023_tpu.ops.pallas_ball_query_sorted as bqs
+
+        monkeypatch.setattr(bq, "_NC", 128)
+        monkeypatch.setattr(bqs, "_BLK", 128)
+        monkeypatch.setattr(bqs, "_WS", ws)
+        monkeypatch.setattr(bqs, "_TM", 8)
+        monkeypatch.setattr(bqs, "_LANE", 8)
+        rng = np.random.default_rng(13)
+        xyz = rand_pc(rng, B, N, scale=scale)
+        if cluster:
+            new_xyz = (0.15 * rand_pc(rng, B, M, scale=1.0) + 0.2).astype(
+                np.float32
+            )
+        else:
+            new_xyz = np.concatenate(
+                [xyz[:, : M - 2], np.full((B, 2, 3), 50.0, np.float32)], axis=1
+            )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                bqs.ball_query_pallas_sorted(
+                    radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz)
+                )
+            )
+        want = ball_query_golden(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+
 
 class TestGatherGroup:
     def test_gather(self):

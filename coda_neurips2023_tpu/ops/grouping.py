@@ -87,7 +87,7 @@ def ball_query(
             )
 
             return ball_query_pallas_mxu(radius, nsample, xyz, new_xyz)
-        algo = os.environ.get("CODA_BQ_ALGO", "window")
+        algo = os.environ.get("CODA_BQ_ALGO", "sorted")
         if algo not in ("window", "adaptive", "sorted"):
             # a mistyped env var must not silently remap to a different kernel
             raise ValueError(
@@ -97,9 +97,12 @@ def ball_query(
         if algo == "sorted" and xyz.shape[1] >= 4096:
             # sort-assisted windowed kernel (pallas_ball_query_sorted.py):
             # per-tile spatial candidate windows over block-sorted points;
-            # exact (v3 fallback on window overflow).  Small N keeps v3 --
-            # the sort/window bookkeeping only pays off when N spans many
-            # lane chunks.
+            # exact (v3 fallback on window overflow).  DEFAULT since the
+            # on-chip A/B (scripts/bench_bq_sorted.py, v5e): 36.6 vs 66.2 ms
+            # v3 at the hot eval shape on realistic scenes (WS=1280), 31.1
+            # vs 45.1 ms on uniform clouds; bit-identical to v1 before
+            # timing.  Small N keeps v3 -- the sort/window bookkeeping only
+            # pays off when N spans many lane chunks.
             from coda_neurips2023_tpu.ops.pallas_ball_query_sorted import (
                 ball_query_pallas_sorted,
             )
@@ -107,10 +110,10 @@ def ball_query(
             return ball_query_pallas_sorted(radius, nsample, xyz, new_xyz)
         if algo in ("window", "sorted"):  # small-N "sorted" keeps v3
             # windowed one-hot insert, no extraction while_loop (v3 in
-            # pallas_ball_query.py): DEFAULT since the on-chip sweep measured
-            # 66.4 vs 82.0 ms for "adaptive" at the hot eval shape, bit-
-            # identical outputs (scripts/bench_bq_sweep.py verifies every
-            # variant against v1 before timing)
+            # pallas_ball_query.py): beats "adaptive" 66.4 vs 82.0 ms at the
+            # hot eval shape (on-chip sweep), bit-identical outputs
+            # (scripts/bench_bq_sweep.py verifies every variant against v1
+            # before timing); also the in-jit fallback target of "sorted"
             from coda_neurips2023_tpu.ops.pallas_ball_query import (
                 ball_query_pallas_v3,
             )

@@ -49,11 +49,16 @@ from coda_neurips2023_tpu.ops.pallas_ball_query import ball_query_pallas_v3
 
 _BLK = 2048  # points per original-index block (lanes); == pallas_ball_query._NC
 _LANE = 128  # window starts are lane-tile aligned
-# static candidate-window width per (tile, block).  At the hot shape
-# (N=20k, M=2048, TM=128) a tile spans ~1/16 of the sorted centers plus the
-# 2r margin, i.e. ~10-15% of a block's lanes (~230-320); 640 leaves ~2x
-# slack before the v3 fallback triggers.  Env-tunable for the sweep.
-_WS = int(os.environ.get("CODA_BQS_WS", "640"))
+# static candidate-window width per (tile, block).  On realistic indoor
+# scenes the dominant cost is key CLUSTERING (floor/wall slabs), not the
+# tile's center span: the on-chip sweep (scripts/bench_bq_sorted.py, v5e)
+# measured max span 1223 at the hot shape (B=32, N=20k, M=2048, TM=128) on
+# synthetic SUN RGB-D-shaped scenes, so WS<=896 always falls back to v3.
+# WS=1280 covers it and wins 1.81x vs v3 (36.6 vs 66.2 ms) -- reading 62.5%
+# of each block's lanes beats v3's 100% even after the argsort preprocessing;
+# WS=1536 measured 39.2 ms (less skipping), WS in {512,640,896} fall back.
+# Uniform clouds: 31.1 ms (1.45x).  Env-tunable for the sweep.
+_WS = int(os.environ.get("CODA_BQS_WS", "1280"))
 _TM = int(os.environ.get("CODA_BQS_TM", "128"))
 
 

@@ -31,7 +31,7 @@ WARMUP = 2
 ITERS = 8
 
 
-def main():
+def main(probe_ms=None):
     import jax
     import jax.numpy as jnp
 
@@ -99,11 +99,18 @@ def main():
         ),
     }
     record.update(rf)  # tflops_per_s / mfu / hbm_gb_per_s / hbm_util
+    if probe_ms is not None:
+        # tunnel-health context: tiny-jit round-trip latency measured just
+        # before the bench (healthy ~1-10 ms; degraded sessions up to ~150 s
+        # observed -- see BASELINE.md round-4 variance note)
+        record["probe_ms"] = round(probe_ms, 2)
     print(json.dumps(record))
 
 
 if __name__ == "__main__":
     from coda_neurips2023_tpu.utils.probe import exit_unless_backend_alive
 
-    exit_unless_backend_alive("sunrgbd_eval_scenes_per_sec_per_chip", "scenes/s")
-    main()
+    _probe_ms = exit_unless_backend_alive(
+        "sunrgbd_eval_scenes_per_sec_per_chip", "scenes/s"
+    )
+    main(probe_ms=_probe_ms)

@@ -215,5 +215,6 @@ def main():
 if __name__ == "__main__":
     from coda_neurips2023_tpu.utils.probe import exit_unless_backend_alive
 
-    exit_unless_backend_alive("sunrgbd_stage1_step_ms", "ms")
+    _probe_ms = exit_unless_backend_alive("sunrgbd_stage1_step_ms", "ms")
+    print(f"probe_ms: {_probe_ms:.2f} (tiny-jit round trip; healthy ~1-10 ms)")
     main()

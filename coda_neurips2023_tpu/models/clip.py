@@ -97,14 +97,21 @@ class FusedAttention(nn.Module):
         d = self.width // h
         w_in = x.shape[-1]
 
-        def proj(name):
-            kernel, bias = _ProjParams((w_in, h, d), (h, d), name=name)()
-            y = jnp.einsum(
-                "bsw,whd->bhsd", x, kernel.astype(self.dtype)
-            ) + bias.astype(self.dtype)[None, :, None, :]
-            return y
-
-        q, k, v = proj("query"), proj("key"), proj("value")
+        # QKV as ONE einsum over a concatenated (w_in, h, 3d) kernel: x (77 MB
+        # of activations at the CLIP shape) is read from HBM once instead of
+        # three times.  Params stay three separate {kernel, bias} trees
+        # (checkpoint/converter compatibility); the concat is 3.5 MB of
+        # weights per step, free next to the matmul.
+        kb = [_ProjParams((w_in, h, d), (h, d), name=n)()
+              for n in ("query", "key", "value")]
+        kcat = jnp.concatenate(
+            [k_.astype(self.dtype) for k_, _ in kb], axis=-1
+        )  # (w_in, h, 3d)
+        bcat = jnp.concatenate(
+            [b_.astype(self.dtype) for _, b_ in kb], axis=-1
+        )  # (h, 3d)
+        qkv = jnp.einsum("bsw,whd->bhsd", x, kcat) + bcat[None, :, None, :]
+        q, k, v = (qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :])
         out = vit_attention(q, k, v)  # (B, H, S, D)
         kernel, bias = _ProjParams(
             (h, d, self.width), (self.width,), fan_in_axes=(0, 1), name="out"

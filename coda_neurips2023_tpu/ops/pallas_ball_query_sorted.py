@@ -33,6 +33,11 @@ Exactness does not depend on the data: if any (tile, block) window would
 overflow `_WS` lanes (e.g. a wall plane perpendicular to the sort axis
 putting thousands of points at one key), the wrapper detects it OUTSIDE the
 kernel and routes the whole call to ball_query_pallas_v3 via lax.cond.
+Float-boundary invariant: the candidate slab is widened by ~8 ULPs beyond
+[min_key - r, max_key + r] (see _prepare) so that every point whose
+IN-KERNEL f32 d^2 evaluates < r^2 is guaranteed inside the slab -- without
+the widening, f32 rounding of the slab bounds could drop a boundary hit
+without tripping the fallback.
 """
 
 from __future__ import annotations
@@ -60,6 +65,39 @@ _LANE = 128  # window starts are lane-tile aligned
 # Uniform clouds: 31.1 ms (1.45x).  Env-tunable for the sweep.
 _WS = int(os.environ.get("CODA_BQS_WS", "1280"))
 _TM = int(os.environ.get("CODA_BQS_TM", "128"))
+# count v3-fallback trips (an overflowing call pays v3 PLUS the wasted sort
+# prep, a silent per-call regression vs plain v3 -- make persistence visible).
+# Async jax.debug.callback, one bool per call; CODA_BQS_COUNT=0 disables.
+_COUNT_FALLBACKS = os.environ.get("CODA_BQS_COUNT", "1") == "1"
+FALLBACK_STATS = {"calls": 0, "fallbacks": 0}
+_warned = [False]
+_callback_ok: list = []  # lazily-resolved host-callback capability
+
+
+def _callbacks_supported() -> bool:
+    """The axon PJRT relay rejects host send/recv callbacks outright
+    (UNIMPLEMENTED at dispatch), so the counter must stay off there."""
+    if not _callback_ok:
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+        _callback_ok.append("axon" not in ver)
+    return _callback_ok[0]
+
+
+def _note_overflow(flag) -> None:
+    FALLBACK_STATS["calls"] += 1
+    if bool(flag):
+        FALLBACK_STATS["fallbacks"] += 1
+        if not _warned[0] and FALLBACK_STATS["fallbacks"] >= 8:
+            _warned[0] = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ball_query_pallas_sorted: %d/%d calls overflowed the "
+                "WS=%d candidate window and fell back to v3 (paying v3 + "
+                "wasted sort prep). Raise CODA_BQS_WS or set "
+                "CODA_BQ_ALGO=window for this data distribution.",
+                FALLBACK_STATS["fallbacks"], FALLBACK_STATS["calls"], _WS,
+            )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -199,10 +237,19 @@ def _prepare(radius: float, xyz: jax.Array, new_xyz: jax.Array):
             [sckey, jnp.broadcast_to(sckey[:, -1:], (b, m_pad - m))], 1
         )
 
-    # per-(tile, block) candidate window over the key-sorted lanes
+    # per-(tile, block) candidate window over the key-sorted lanes.
+    # The slab must contain every point whose IN-KERNEL f32 d^2 evaluates
+    # < r^2: the kernel's 5-op d^2 can round below r^2 for a point whose true
+    # distance is up to ~r*(1+4eps), and the f32 subtraction here can round
+    # lo up / hi down by another 0.5 ulp each -- so widen the radius by 8 eps
+    # and take one nextafter outward on each bound.  Without this, a
+    # boundary point could be silently dropped WITHOUT tripping the v3
+    # overflow fallback (e uses the same bounds), breaking the
+    # data-independent-exactness invariant at the float boundary.
+    r_w = float(radius) * (1.0 + 8.0 * 2.0**-23)
     ckt = sckey.reshape(b, t, tm)
-    lo = jnp.min(ckt, axis=-1) - radius  # (B, T)
-    hi = jnp.max(ckt, axis=-1) + radius
+    lo = jnp.nextafter(jnp.min(ckt, axis=-1) - r_w, -jnp.inf)  # (B, T)
+    hi = jnp.nextafter(jnp.max(ckt, axis=-1) + r_w, jnp.inf)
     s = jnp.sum(
         (skey[:, None, :, :] < lo[:, :, None, None]).astype(jnp.int32), -1
     )  # (B, T, NB)
@@ -242,6 +289,8 @@ def ball_query_pallas_sorted(
     b, n, m, blk, tm, ws, n_pad, m_pad, nb, t = dims
     kp = _round_up(nsample, 128)
     overflow = jnp.any(e > s_al + ws)
+    if _COUNT_FALLBACKS and _callbacks_supported():
+        jax.debug.callback(_note_overflow, overflow)
 
     def sorted_path(_):
         out = pl.pallas_call(

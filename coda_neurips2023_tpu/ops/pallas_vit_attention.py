@@ -60,13 +60,26 @@ def _attn_kernel(sm_scale: float, q_ref, k_ref, v_ref, o_ref):
     q = q_ref[...].reshape(bb * h, s, d)
     k = k_ref[...].reshape(bb * h, s, d)
     v = v_ref[...].reshape(bb * h, s, d)
+    # Fold the softmax scale into q when it is a power of two (always true
+    # for d=64: 1/8): an exact exponent shift on S*D elements instead of a
+    # multiply over the S*S scores (3x fewer VPU ops at the ViT shape).
+    frac = math.frexp(sm_scale)[0]
+    if frac in (0.5, -0.5):
+        q = q * jnp.asarray(sm_scale, q.dtype)
+        post_scale = None
+    else:
+        post_scale = sm_scale
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * sm_scale  # (BB*H, S, S) f32
+    )  # (BB*H, S, S) f32
+    if post_scale is not None:
+        scores = scores * post_scale
     m = jnp.max(scores, axis=2, keepdims=True)
     e = jnp.exp(scores - m)
-    p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(v.dtype)
+    # one reciprocal per row + a broadcast multiply beats a broadcast divide
+    # over all S*S probabilities (VPU divides are multi-pass)
+    p = (e * (1.0 / jnp.sum(e, axis=2, keepdims=True))).astype(v.dtype)
     out = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -84,12 +97,22 @@ def _vit_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     sm_scale = 1.0 / math.sqrt(d)
     spec = pl.BlockSpec((bb, h, s, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
+    # per-cell VMEM: 4 double-buffered bf16 I/O blocks + the f32 scores and
+    # softmax intermediates.  BB>1 exceeds the 16 MB default scoped limit
+    # (round-3 compile OOM at 17.62M) -- size the limit to the actual
+    # footprint instead of forfeiting the batching (v5e has 128 MB physical;
+    # same fix as the masked-attention kernel, round 4).
+    io = 4 * bb * h * s * d * q.dtype.itemsize * 2
+    scores = bb * h * s * s * 4 * 3  # scores + exp + p (f32-equivalent bound)
+    limit = min(int((io + scores) * 1.5) + (1 << 20), 100 << 20)
+    params = pltpu.CompilerParams(vmem_limit_bytes=max(limit, 32 << 20))
     return pl.pallas_call(
         functools.partial(_attn_kernel, sm_scale),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
         grid=(b // bb,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
+        compiler_params=params,
         interpret=_INTERPRET,
     )(q, k, v)
 

@@ -1,8 +1,10 @@
 #!/bin/bash
 # Evaluate released/trained checkpoints (reference test_release_models.sh:
 # 5 eval runs writing .lst metric logs). Checkpoints are orbax dirs produced
-# by this framework (use utils/clip convert + train, or convert reference
-# .pth weights with tools of a future round).
+# by this framework, OR reference .pth files passed directly: --test_ckpt
+# auto-detects .pth and converts in-process (utils/io.py restore_params_only
+# -> utils/torch_convert.py); `python -m coda_neurips2023_tpu.utils.
+# torch_convert in.pth out_dir` converts ahead of time.
 set -e
 run () {  # name dataset ckpt ncls extra...
   local name=$1 dataset=$2 ckpt=$3 ncls=$4; shift 4

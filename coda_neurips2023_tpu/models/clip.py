@@ -38,11 +38,16 @@ _FUSED_ATTN = os.environ.get("CODA_CLIP_FUSED_ATTN", "auto")
 
 
 def _use_fused_attn() -> bool:
+    # Default OFF (round 5): stock flax MHDPA measured 80.7 ms/256 crops bf16
+    # on v5e vs 91 ms for the QKV-concat fused path (lane-slice relayouts),
+    # 108.8 ms for a leading-dim-split variant, and 20.0-vs-17.2 ms/12-layers
+    # for the best Pallas kernel vs stock in-scan (scripts/bench_attn_scan.py,
+    # scripts/bench_clip_tower.py).  At S=197 XLA's own attention is already
+    # within ~2x of the HBM floor and every hand layout loses; keep the fused
+    # paths selectable for future shapes.
     if _FUSED_ATTN == "1":
         return True
-    if _FUSED_ATTN == "0":
-        return False
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def quick_gelu(x):
@@ -76,14 +81,28 @@ class _ProjParams(nn.Module):
 
 
 class FusedAttention(nn.Module):
-    """Self-attention with the Pallas fused kernel (mask-free ViT path).
+    """Self-attention with a single fused QKV projection (mask-free ViT path).
 
-    Math identical to flax MultiHeadDotProductAttention; the difference is
-    layout: q/k/v are projected straight into (B, H, S, D) with
-    einsum('bsw,whd->bhsd'), so the head-major layout the kernel wants rides
-    the projection matmul's output for free -- an explicit (B,S,H,D) ->
-    (B,H,S,D) HBM transpose measured ~1 ms/tensor/layer at the CLIP shape
-    (BASELINE.md round-3)."""
+    Math identical to flax MultiHeadDotProductAttention; the differences are
+    layout only:
+
+    * q/k/v are projected by ONE einsum over a stacked (w_in, 3, h, d)
+      kernel, so x (77 MB of activations at the CLIP 256-crop shape) is read
+      from HBM once instead of three times.
+    * the 3 projections land on the LEADING axis of the einsum output
+      ('bsw,wthd->tbshd') and are split by axis-0 indexing, which is
+      tile-layout free.  Splitting a lane-packed (..., 3d) tensor at 64-lane
+      offsets instead forces Mosaic relayout copies, measured +27 ms/12
+      layers on v5e (scripts/bench_attn_scan.py, round 5) -- that lane-slice
+      variant is what made the round-3/4 fused tower SLOWER than stock
+      (91 vs 81.5 ms/256 crops).
+
+    The inner attention is stock flax dot_product_attention by default; the
+    Pallas vit_attention kernel remains selectable with
+    CODA_VIT_ATTN_IMPL=pallas (in-scan A/B round 5: stock 17.2 ms vs kernel
+    20.0 ms best at BB=8 -- XLA wins at this short-seq shape).  Params stay
+    three separate {kernel, bias} trees (checkpoint/converter compatibility);
+    the stack is 3.5 MB of weights per step, free next to the matmul."""
 
     heads: int
     width: int
@@ -91,33 +110,37 @@ class FusedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.pallas_vit_attention import vit_attention
-
         h = self.heads
         d = self.width // h
         w_in = x.shape[-1]
 
-        # QKV as ONE einsum over a concatenated (w_in, h, 3d) kernel: x (77 MB
-        # of activations at the CLIP shape) is read from HBM once instead of
-        # three times.  Params stay three separate {kernel, bias} trees
-        # (checkpoint/converter compatibility); the concat is 3.5 MB of
-        # weights per step, free next to the matmul.
         kb = [_ProjParams((w_in, h, d), (h, d), name=n)()
               for n in ("query", "key", "value")]
-        kcat = jnp.concatenate(
-            [k_.astype(self.dtype) for k_, _ in kb], axis=-1
-        )  # (w_in, h, 3d)
-        bcat = jnp.concatenate(
-            [b_.astype(self.dtype) for _, b_ in kb], axis=-1
-        )  # (h, 3d)
-        qkv = jnp.einsum("bsw,whd->bhsd", x, kcat) + bcat[None, :, None, :]
-        q, k, v = (qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :])
-        out = vit_attention(q, k, v)  # (B, H, S, D)
+        kcat = jnp.stack(
+            [k_.astype(self.dtype) for k_, _ in kb], axis=1
+        )  # (w_in, 3, h, d)
+        bcat = jnp.stack(
+            [b_.astype(self.dtype) for _, b_ in kb], axis=0
+        )  # (3, h, d)
         kernel, bias = _ProjParams(
             (h, d, self.width), (self.width,), fan_in_axes=(0, 1), name="out"
         )()
+        if os.environ.get("CODA_VIT_ATTN_IMPL", "stock") == "pallas":
+            from ..ops.pallas_vit_attention import vit_attention
+
+            # head-major (B, H, S, D) rides the projection matmul's output
+            # for free (an explicit transpose measured ~1 ms/tensor/layer).
+            qkv = (jnp.einsum("bsw,wthd->tbhsd", x, kcat)
+                   + bcat[:, None, :, None, :])
+            out = vit_attention(qkv[0], qkv[1], qkv[2])  # (B, H, S, D)
+            return jnp.einsum(
+                "bhsd,hdw->bsw", out, kernel.astype(self.dtype)
+            ) + bias.astype(self.dtype)
+        qkv = (jnp.einsum("bsw,wthd->tbshd", x, kcat)
+               + bcat[:, None, None, :, :])
+        out = nn.dot_product_attention(qkv[0], qkv[1], qkv[2])  # (B, S, H, D)
         return jnp.einsum(
-            "bhsd,hdw->bsw", out, kernel.astype(self.dtype)
+            "bshd,hdw->bsw", out, kernel.astype(self.dtype)
         ) + bias.astype(self.dtype)
 
 

@@ -68,6 +68,41 @@ def main():
     t_packed = timeit(jax.jit(lambda x: scan12(packed, x)), qkv)
     print(f"kernel + XLA qkv slices x12: {t_packed:7.2f} ms", flush=True)
 
+    # leading-dim split: (3, B, H, S, D) -- axis-0 indexing is tile-layout
+    # free (no 64-offset lane slicing).  The real tower can produce this
+    # layout straight off the QKV projection einsum ('bsw,wthd->tbhsd').
+    qkv_t = jnp.asarray(rng.standard_normal((3, b, h, s, d)), jnp.bfloat16)
+
+    def lead(y):
+        o = vit_attention(y[0], y[1], y[2])
+        return jnp.stack([o, o, o])  # keep carry shape
+
+    t_lead = timeit(jax.jit(lambda x: scan12(lead, x)), qkv_t)
+    print(f"kernel + lead-dim split x12: {t_lead:7.2f} ms", flush=True)
+
+    qkv_ts = jnp.asarray(rng.standard_normal((3, b, s, h, d)), jnp.bfloat16)
+
+    def lead_stock(y):
+        o = nn.dot_product_attention(y[0], y[1], y[2])
+        return jnp.stack([o, o, o])
+
+    t_ls = timeit(jax.jit(lambda x: scan12(lead_stock, x)), qkv_ts)
+    print(f"stock + lead-dim split x12 : {t_ls:7.2f} ms", flush=True)
+
+    for bb in (2, 4, 8):
+        os.environ["CODA_VIT_ATTN_BLOCK_B"] = str(bb)
+        import importlib
+        import coda_neurips2023_tpu.ops.pallas_vit_attention as pva
+        importlib.reload(pva)
+        try:
+            t_bb = timeit(jax.jit(lambda x: scan12(
+                lambda y: pva.vit_attention(y, y, y), x)), x_bhsd)
+            print(f"pallas kernel BB={bb} x12    : {t_bb:7.2f} ms", flush=True)
+        except Exception as e:  # compile OOM at large BB is informative
+            print(f"pallas kernel BB={bb} x12    : FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+    os.environ.pop("CODA_VIT_ATTN_BLOCK_B", None)
+
 
 if __name__ == "__main__":
     main()

@@ -44,10 +44,13 @@ def _device_put_once(tree):
 def clip_tower_dtype(args):
     """Dtype for the frozen CLIP tower.  The reference runs CLIP fp16 on CUDA
     (convert_weights, CLIP/clip/model.py:1146); on v5e explicit bf16 measured
-    SLOWER than fp32 end-to-end (507 vs 332 ms stage-1 step -- fp32 matmuls
-    already execute as bf16 MXU passes, and the bf16 HLO adds convert/relayout
-    ops), so the default stays float32.  --clip_dtype bf16 or
-    --compute_dtype bf16 opts in."""
+    SLOWER than fp32 end-to-end (507 vs 332 ms stage-1 step round 3; re-checked
+    round 5 with stock attention after the fused-path regression was removed:
+    422 vs 325 ms, same session, probe_ms ~25 both) -- fp32 matmuls already
+    execute as bf16 MXU passes, and the bf16 HLO adds convert/relayout ops at
+    the f32 crop/gate boundaries that outweigh the isolated tower win (80.7
+    bf16 vs 93.0 fp32 ms/256 crops).  The default stays float32; --clip_dtype
+    bf16 or --compute_dtype bf16 opts in."""
     bf16 = (
         getattr(args, "clip_dtype", "float32") in ("bf16", "bfloat16")
         or getattr(args, "compute_dtype", "float32") in ("bf16", "bfloat16")

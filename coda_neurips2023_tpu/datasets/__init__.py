@@ -122,6 +122,7 @@ def build_dataset(args):
             SyntheticDetectionDataset,
             num_points=getattr(args, "num_points", 20000),
             with_images=getattr(args, "if_input_image", False),
+            empty_scene_rate=getattr(args, "synthetic_empty_scene_rate", 0.0),
         )
         n = getattr(args, "synthetic_num_scenes", 256) or 256
         n_eval = max(n // 4, 2)

@@ -38,6 +38,7 @@ class SyntheticDetectionDataset:
         with_images: bool = False,
         image_hw: tuple = (64, 96),
         pseudo_dir: str | None = None,
+        empty_scene_rate: float = 0.0,
     ):
         self.dataset_config = dataset_config
         self.num_scenes = num_scenes
@@ -52,6 +53,11 @@ class SyntheticDetectionDataset:
         # the next epoch's __getitem__ merges, mirroring the sunrgbd
         # _novel_bbox.npy contract, datasets/sunrgbd.py:141-166)
         self.pseudo_dir = pseudo_dir
+        # fraction of scenes with ZERO GT boxes (SUN RGB-D has ~0.4% such
+        # scans) -- exercises the skip_none_gt loss normalizer semantics,
+        # which only diverge between the global and per-replica formulas
+        # when empty scenes are distributed unevenly across replicas
+        self.empty_scene_rate = float(empty_scene_rate)
 
     def __len__(self):
         return self.num_scenes
@@ -62,6 +68,8 @@ class SyntheticDetectionDataset:
         max_obj = cfg.max_num_obj
 
         nbox = int(rng.integers(1, self.max_boxes + 1))
+        if self.empty_scene_rate > 0.0 and rng.random() < self.empty_scene_rate:
+            nbox = 0
         centers = np.zeros((max_obj, 3), np.float32)
         sizes = np.zeros((max_obj, 3), np.float32)
         angles = np.zeros((max_obj,), np.float32)

@@ -257,6 +257,9 @@ def make_args_parser():
     parser.add_argument("--num_points", default=20000, type=int)
     # ours: scene count for the data-free synthetic fallback dataset
     parser.add_argument("--synthetic_num_scenes", default=256, type=int)
+    # fraction of synthetic scenes with zero GT boxes (exercises the
+    # skip_none_gt loss normalizer; SUN RGB-D's real rate is ~0.4%)
+    parser.add_argument("--synthetic_empty_scene_rate", default=0.0, type=float)
 
     ##### Training #####
     parser.add_argument("--start_epoch", default=-1, type=int)

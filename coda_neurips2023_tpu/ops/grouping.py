@@ -213,8 +213,34 @@ def query_and_group(
         radius-normalized) local xyz concatenated with grouped features.
       grouped_xyz: (B, M, nsample, 3) recentered local coordinates.
     """
-    idx = ball_query(radius, nsample, xyz, new_xyz)
-    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    # opt-in (round-5 on-chip A/B: measured NEUTRAL at the eval shape --
+    # 59.8 vs 60.0 ms for the whole query+group block.  The kernel's in-loop
+    # coordinate extraction (+13 ms: 3 extra where+row-sum passes per
+    # extraction step, and the step count is the latency-bound part) plus the
+    # (B,M,K,3) center un-sort (+6.5 ms) cancel the separate group-points
+    # pass (-16.4 ms) almost exactly.  Kept selectable + bit-identity-tested;
+    # see BASELINE.md round-5 for the full design-space notes.)
+    fused = os.environ.get("CODA_BQ_FUSED_GATHER", "0")
+    if (
+        fused == "1"
+        and os.environ.get("CODA_BQ_MXU") != "1"
+        and os.environ.get("CODA_BQ_ALGO", "sorted") == "sorted"
+        and xyz.shape[1] >= 4096
+        and nsample % 128 != 0  # cnt export needs a pad lane in the kernel
+    ):
+        # fused ball query + coordinate gather: the sorted kernel extracts
+        # each hit's xyz inside its extraction loop (already in VMEM),
+        # removing the separate group_points pass entirely.  Bit-exact vs
+        # the two-op path (tests/test_ops.py::test_fused_bq_gather_*).
+        from coda_neurips2023_tpu.ops.pallas_ball_query_sorted import (
+            ball_query_and_group_sorted,
+        )
+
+        idx, gathered = ball_query_and_group_sorted(radius, nsample, xyz, new_xyz)
+        grouped_xyz = gathered - new_xyz[:, :, None, :]
+    else:
+        idx = ball_query(radius, nsample, xyz, new_xyz)
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
     if features is not None:

@@ -185,6 +185,109 @@ def _bqs_kernel(r2: float, nsample: int, ws: int, blk: int,
     out_ref[0, :, :] = filled
 
 
+def _bqs_gather_kernel(r2: float, nsample: int, ws: int, blk: int,
+                       starts_ref, xyz_ref, oidx_ref, ctr_ref,
+                       out_ref, oxyz_ref):
+    """_bqs_kernel variant that ALSO extracts each hit's xyz coordinates in
+    the extraction loop (the window's coordinate rows are already resident in
+    VMEM), fusing the downstream group_points(xyz, idx) gather into the ball
+    query.  The `key == minv` lane select the loop computes anyway isolates
+    exactly one lane per active row (original indices are unique), so the
+    coordinate extraction is three where+row-sum passes whose single nonzero
+    term is the f32 value itself -- bit-exact vs a take_along_axis gather.
+
+    Extra outputs: oxyz_ref (1, 3, TM, KP) f32 slot coordinates with the
+    reference fill semantics (trailing slots = first hit's xyz); the
+    all-zero-row case (no hits -> gather of original index 0) cannot be
+    resolved in-kernel (point 0's coordinates live in an unknown lane of
+    block 0), so the per-center hit count is exported in out_ref's pad lane
+    [nsample] (KP > nsample always: 64 -> 128) and the wrapper substitutes
+    xyz[b, 0] outside."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    n = xyz_ref.shape[-1]
+    kp = out_ref.shape[-1]
+    tm = ctr_ref.shape[-1]
+    nblocks = n // blk
+    sentinel = n
+
+    def ctile(d):
+        row = ctr_ref[0, 0, d : d + 1, :]
+        return jnp.swapaxes(row, 0, 1)
+
+    cx, cy, cz = ctile(0), ctile(1), ctile(2)
+    s_iota2 = jax.lax.broadcasted_iota(jnp.int32, (tm, nsample), 1)
+
+    def live_block(c, slots, cnt, gx, gy, gz):
+        st = starts_ref[(bi * pl.num_programs(1) + ti) * nblocks + c]
+        base = pl.multiple_of(c * blk + st, _LANE)
+        xw = xyz_ref[0, 0:1, pl.ds(base, ws)]
+        yw = xyz_ref[0, 1:2, pl.ds(base, ws)]
+        zw = xyz_ref[0, 2:3, pl.ds(base, ws)]
+        d2 = (cx - xw) ** 2 + (cy - yw) ** 2 + (cz - zw) ** 2
+        ow = oidx_ref[0, 0:1, pl.ds(base, ws)]
+        key0 = jnp.where(
+            jnp.logical_and(d2 < r2, cnt < nsample), ow, sentinel
+        )
+        remaining0 = jnp.sum((key0 < sentinel).astype(jnp.int32), 1, keepdims=True)
+
+        def cond(carry):
+            _, cnt_c, _, remaining, _, _, _ = carry
+            return jnp.any(jnp.logical_and(remaining > 0, cnt_c < nsample))
+
+        def body(carry):
+            slots_c, cnt_c, key, remaining, gx_c, gy_c, gz_c = carry
+            minv = jnp.min(key, axis=1, keepdims=True)
+            act = jnp.logical_and(minv < sentinel, cnt_c < nsample)
+            put = jnp.logical_and(s_iota2 == cnt_c, act)
+            sel = key == minv  # one lane per active row (oidx unique)
+            selx = jnp.sum(jnp.where(sel, xw, 0.0), 1, keepdims=True)
+            sely = jnp.sum(jnp.where(sel, yw, 0.0), 1, keepdims=True)
+            selz = jnp.sum(jnp.where(sel, zw, 0.0), 1, keepdims=True)
+            slots_c = slots_c + jnp.where(put, minv, 0)
+            gx_c = gx_c + jnp.where(put, selx, 0.0)
+            gy_c = gy_c + jnp.where(put, sely, 0.0)
+            gz_c = gz_c + jnp.where(put, selz, 0.0)
+            cnt_c = cnt_c + act.astype(jnp.int32)
+            key = jnp.where(sel, sentinel, key)
+            remaining = remaining - (minv < sentinel).astype(jnp.int32)
+            return slots_c, cnt_c, key, remaining, gx_c, gy_c, gz_c
+
+        slots, cnt, _, _, gx, gy, gz = jax.lax.while_loop(
+            cond, body, (slots, cnt, key0, remaining0, gx, gy, gz)
+        )
+        return slots, cnt, gx, gy, gz
+
+    def block_body(c, carry):
+        slots, cnt = carry[0], carry[1]
+        all_full = jnp.min(cnt) >= nsample
+        return jax.lax.cond(
+            all_full, lambda: carry, lambda: live_block(c, *carry)
+        )
+
+    zf = jnp.zeros((tm, nsample), jnp.float32)
+    init = (jnp.zeros((tm, nsample), jnp.int32),
+            jnp.zeros((tm, 1), jnp.int32), zf, zf, zf)
+    if nblocks == 1:
+        slots, cnt, gx, gy, gz = live_block(0, *init)
+    else:
+        slots, cnt, gx, gy, gz = jax.lax.fori_loop(0, nblocks, block_body, init)
+
+    live = s_iota2 < jnp.minimum(cnt, nsample)
+    filled = jnp.where(live, slots, slots[:, 0:1])
+    filled = jnp.where(cnt > 0, filled, 0)
+    # export cnt in pad lane [nsample] for the wrapper's zero-hit fixup
+    # (iota select: Mosaic has no scatter lowering for .at[].set)
+    pad_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, kp - nsample), 1)
+    pad = jnp.where(pad_iota == 0, cnt, 0)
+    out_ref[0, :, :] = jnp.concatenate([filled, pad], axis=1)
+
+    fpad = jnp.zeros((tm, kp - nsample), jnp.float32)
+    for d, g in ((0, gx), (1, gy), (2, gz)):
+        gfill = jnp.where(live, g, g[:, 0:1])
+        oxyz_ref[0, d, :, :] = jnp.concatenate([gfill, fpad], axis=1)
+
+
 def _prepare(radius: float, xyz: jax.Array, new_xyz: jax.Array):
     """Sorting + windowing preprocessing (pure XLA, traced inside the jitted
     wrapper; also reusable standalone for window diagnostics).  Returns
@@ -329,3 +432,88 @@ def ball_query_pallas_sorted(
         sorted_path,
         operand=None,
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query_and_group_sorted(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+):
+    """Fused ball query + coordinate gather.
+
+    Returns (idx, grouped) where idx == ball_query_pallas_sorted(...) and
+    grouped == group_points(xyz, idx) bit-exactly ((B, M, nsample, 3) f32,
+    reference fill semantics from ball_query_gpu.cu:30-45 /
+    group_points_gpu.cu:9-22): the gather rides the query kernel's extraction
+    loop, where each hit's coordinates are already resident in VMEM -- the
+    separate group-points pass (14.9 ms Pallas / 32 ms XLA at the eval shape)
+    disappears.  Window-overflow scenes fall back to v3 + take_along_axis
+    inside lax.cond, keeping exactness data-independent."""
+    sxyz_t, soidx2, sctr_t, s_al, e, cperm, dims = _prepare(radius, xyz, new_xyz)
+    b, n, m, blk, tm, ws, n_pad, m_pad, nb, t = dims
+    kp = _round_up(nsample, 128)
+    assert kp > nsample, "cnt export needs at least one pad lane"
+    overflow = jnp.any(e > s_al + ws)
+    if _COUNT_FALLBACKS and _callbacks_supported():
+        jax.debug.callback(_note_overflow, overflow)
+    xyzf = xyz.astype(jnp.float32)
+
+    def sorted_path(_):
+        out, oxyz = pl.pallas_call(
+            functools.partial(
+                _bqs_gather_kernel, float(radius) ** 2, nsample, ws, blk
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, m_pad, kp), jnp.int32),
+                jax.ShapeDtypeStruct((b, 3, m_pad, kp), jnp.float32),
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, t),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 3, n_pad), lambda i, j, st: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, n_pad), lambda i, j, st: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 3, tm), lambda i, j, st: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (1, tm, kp), lambda i, j, st: (i, j, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 3, tm, kp), lambda i, j, st: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ),
+            ),
+        )(s_al.astype(jnp.int32).reshape(-1), sxyz_t, soidx2, sctr_t)
+        inv = jnp.argsort(cperm, axis=1)
+        idx = jnp.take_along_axis(out[:, :, :nsample], inv[..., None], 1)
+        cnt = jnp.take_along_axis(out[:, :, nsample], inv, 1)  # (B, M)
+        g = jnp.transpose(oxyz[:, :, :, :nsample], (0, 2, 3, 1))  # (B,Mp,K,3)
+        g = jnp.take_along_axis(g, inv[..., None, None], 1)
+        # zero-hit rows gather original index 0 (the CUDA .zero_() buffer):
+        # point 0's coordinates are not addressable in-kernel, substitute here
+        g = jnp.where((cnt == 0)[..., None, None], xyzf[:, 0][:, None, None, :], g)
+        return idx, g
+
+    def fallback(_):
+        idx = ball_query_pallas_v3(radius, nsample, xyz, new_xyz)
+        # pallas two-level gather (bit-exact vs take_along_axis, ~2x faster
+        # at the hot shape) so an overflow scene does not pay the 32 ms XLA
+        # gather on top of v3
+        from coda_neurips2023_tpu.ops.pallas_group_gather import (
+            group_points_pallas,
+        )
+
+        return idx, group_points_pallas(xyzf, idx)
+
+    return jax.lax.cond(overflow, fallback, sorted_path, operand=None)

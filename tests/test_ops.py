@@ -167,6 +167,52 @@ class TestBallQuery:
         want = ball_query_golden(radius, nsample, xyz, new_xyz)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize(
+        "B,N,M,radius,nsample,scale,ws,cluster",
+        [
+            (2, 300, 33, 0.5, 8, 0.25, 128, False),
+            (1, 300, 17, 0.15, 8, 1.0, 128, False),  # zero-hit rows
+            (2, 260, 19, 0.4, 8, 0.3, 64, False),  # overflow -> fallback
+            (2, 300, 25, 0.1, 8, 0.5, 64, True),
+        ],
+    )
+    def test_fused_bq_gather_matches_two_op_path(
+        self, monkeypatch, B, N, M, radius, nsample, scale, ws, cluster
+    ):
+        # fused ball query + coordinate gather: idx must equal the golden
+        # ball query, grouped must equal take_along_axis(xyz, idx) bit-exactly
+        # (reference fill semantics incl. the zero-hit -> index-0 gather)
+        from jax.experimental.pallas import tpu as pltpu
+        import coda_neurips2023_tpu.ops.pallas_ball_query as bq
+        import coda_neurips2023_tpu.ops.pallas_ball_query_sorted as bqs
+
+        monkeypatch.setattr(bq, "_NC", 128)
+        monkeypatch.setattr(bqs, "_BLK", 128)
+        monkeypatch.setattr(bqs, "_WS", ws)
+        monkeypatch.setattr(bqs, "_TM", 8)
+        monkeypatch.setattr(bqs, "_LANE", 8)
+        rng = np.random.default_rng(13)
+        xyz = rand_pc(rng, B, N, scale=scale)
+        if cluster:
+            new_xyz = (0.15 * rand_pc(rng, B, M, scale=1.0) + 0.2).astype(
+                np.float32
+            )
+        else:
+            new_xyz = np.concatenate(
+                [xyz[:, : M - 2], np.full((B, 2, 3), 50.0, np.float32)], axis=1
+            )
+        with pltpu.force_tpu_interpret_mode():
+            idx, grouped = jax.tree.map(
+                np.asarray,
+                bqs.ball_query_and_group_sorted(
+                    radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz)
+                ),
+            )
+        want_idx = ball_query_golden(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(idx, want_idx)
+        want_g = np.stack([xyz[b][want_idx[b]] for b in range(B)])
+        np.testing.assert_array_equal(grouped, want_g)
+
 
 class TestGatherGroup:
     def test_gather(self):

@@ -22,7 +22,10 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# sitecustomize pins JAX_PLATFORMS=axon at interpreter start, so a
+# setdefault is a no-op -- hard-override BEFORE and AFTER jax import,
+# exactly like tests/conftest.py
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
@@ -30,6 +33,11 @@ os.environ["XLA_FLAGS"] = (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
 
 
 BASE_FLAGS = [
@@ -56,6 +64,7 @@ BASE_FLAGS = [
     "--loss_giou_weight", "2",
     "--loss_center_weight", "5",
     "--synthetic_num_scenes", "128",
+    "--ngpus", "8",  # dp=8 over the virtual CPU mesh (default is 1!)
     "--log_every", "1",
     "--eval_every_epoch", "100",  # skip cadence evals; final eval still runs
 ]
@@ -80,7 +89,7 @@ def run_once(tag: str, per_replica: bool, empty_rate: float, outdir: str):
     with open(os.path.join(ckpt, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
-            if rec.get("kind") == "train" or "loss" in rec:
+            if any(k.startswith("Train_details/") for k in rec):
                 steps.append(rec)
     import pickle
 
@@ -104,7 +113,8 @@ def main():
     g_steps, g_final = run_once("global", False, a.empty_rate, a.outdir)
     p_steps, p_final = run_once("per_replica", True, a.empty_rate, a.outdir)
 
-    for key in ("loss", "loss_sem_cls_softmax_skip_none_gt_sample"):
+    for key in ("Train_details/loss",
+                "Train_details/loss_sem_cls_softmax_skip_none_gt_sample"):
         gs, ps = series(g_steps, key), series(p_steps, key)
         n = min(len(gs), len(ps))
         if n == 0:
@@ -118,10 +128,11 @@ def main():
               f"final global={gs[n-1]:.5f} per_replica={ps[n-1]:.5f}")
 
     def ap25(final):
-        for k, v in (final or {}).items():
-            if "mAP" in str(k) or "AP25" in str(k):
-                return {str(k): v}
-        return final
+        # final_eval.pkl: {iou_thresh: {metric: value}}
+        try:
+            return {f"mAP@{t}": float(final[t]["mAP"]) for t in (0.25, 0.5)}
+        except Exception:
+            return final
 
     print("final eval (global):     ", ap25(g_final))
     print("final eval (per_replica):", ap25(p_final))

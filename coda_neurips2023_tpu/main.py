@@ -522,7 +522,9 @@ def do_train(args, ctx):
             and len(datasets["test"])
         ):
             test_loader = make_loader(
-                datasets["test"], args.batchsize_per_gpu_test, shuffle=False,
+                datasets["test"],
+                args.batchsize_per_gpu_test * ctx["mesh"].devices.size,
+                shuffle=False,
                 drop_last=False, pad_last=True,
                 num_workers=max(args.dataset_num_workers_test, 1),
             )
@@ -549,7 +551,9 @@ def do_train(args, ctx):
             and len(datasets["real_test"])
         ):
             test_loader = make_loader(
-                datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
+                datasets["real_test"],
+                args.batchsize_per_gpu_test * ctx["mesh"].devices.size,
+                shuffle=False,
                 drop_last=False, pad_last=True,
                 num_workers=max(args.dataset_num_workers_test, 1),
             )
@@ -576,7 +580,9 @@ def do_train(args, ctx):
             and args.real_cmp_eval_every_epoch <= args.max_epoch
         ):
             cmp_loader = make_loader(
-                datasets["real_cmp_test"], args.batchsize_per_gpu_test, shuffle=False,
+                datasets["real_cmp_test"],
+                args.batchsize_per_gpu_test * ctx["mesh"].devices.size,
+                shuffle=False,
                 drop_last=False, pad_last=True,
                 num_workers=max(args.dataset_num_workers_test, 1),
             )
@@ -606,7 +612,9 @@ def do_train(args, ctx):
     # final eval artifacts (reference main.py:578-623: final_eval.txt / .pkl)
     if len(datasets["real_test"]):
         test_loader = make_loader(
-            datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
+            datasets["real_test"],
+            args.batchsize_per_gpu_test * ctx["mesh"].devices.size,
+            shuffle=False,
             drop_last=False, pad_last=True,
             num_workers=max(args.dataset_num_workers_test, 1),
         )
@@ -651,8 +659,11 @@ def test_model(args, ctx):
 
     model, tx, mesh = ctx["model"], ctx["tx"], ctx["mesh"]
     datasets = ctx["datasets"]
-    loader = make_loader(datasets["real_test"], args.batchsize_per_gpu_test, shuffle=False,
-                         drop_last=False, pad_last=True)
+    loader = make_loader(
+        datasets["real_test"],
+        args.batchsize_per_gpu_test * ctx["mesh"].devices.size,
+        shuffle=False, drop_last=False, pad_last=True,
+    )
     sample = next(iter(loader))
     # string-valued fields stay host-side (like do_train/run_mode)
     sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
@@ -693,7 +704,9 @@ def run_mode(args, ctx):
 
     model, tx = ctx["model"], ctx["tx"]
     loader = make_loader(
-        ctx["datasets"]["test"], args.batchsize_per_gpu_test, shuffle=False
+        ctx["datasets"]["test"],
+        args.batchsize_per_gpu_test * ctx["mesh"].devices.size,
+        shuffle=False,
     )
     sample = next(iter(loader))
     sample_arrays = {k: v for k, v in sample.items() if not isinstance(v, list)}

@@ -53,7 +53,7 @@ BASE_FLAGS = [
     "--nqueries", "16",
     "--num_points", "256",
     "--batchsize_per_gpu", "2",  # global batch 16 over dp=8
-    "--batchsize_per_gpu_test", "2",
+    "--batchsize_per_gpu_test", "2",  # per-device (x8 mesh = 16 global)
     "--max_epoch", "6",
     "--matcher_cls_cost", "1",
     "--matcher_center_cost", "5",

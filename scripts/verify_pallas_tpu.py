@@ -104,6 +104,33 @@ def main():
     _ = float(jnp.sum(out))
     print(f"fps B={B2} N={N} -> 2048: {(time.perf_counter()-t0)/10*1000:.1f} ms")
 
+    # sorted ball query + the fused query+gather variant (round 5): both
+    # bit-exact vs the adaptive kernel / take_along_axis on chip
+    from coda_neurips2023_tpu.ops.pallas_ball_query_sorted import (
+        ball_query_and_group_sorted,
+        ball_query_pallas_sorted,
+    )
+
+    ref_idx = np.asarray(ball_query_pallas(R, NS, jnp.asarray(xyz), jnp.asarray(ctr)))
+    got = np.asarray(
+        ball_query_pallas_sorted(R, NS, jnp.asarray(xyz), jnp.asarray(ctr))
+    )
+    match = np.array_equal(ref_idx, got)
+    print(f"ball_query_sorted: {'OK' if match else 'MISMATCH'}")
+    ok &= match
+
+    fidx, fxyz = ball_query_and_group_sorted(
+        R, NS, jnp.asarray(xyz), jnp.asarray(ctr)
+    )
+    from coda_neurips2023_tpu.ops.grouping import _group_points_xla as _gpx
+
+    ref_g = np.asarray(_gpx(jnp.asarray(xyz), jnp.asarray(ref_idx)))
+    match = np.array_equal(ref_idx, np.asarray(fidx)) and np.array_equal(
+        ref_g, np.asarray(fxyz)
+    )
+    print(f"fused bq+gather: {'OK' if match else 'MISMATCH'}")
+    ok &= match
+
     # group gather: bit-exactness on chip (bf16x3 one-hot reconstruction)
     from coda_neurips2023_tpu.ops.grouping import _group_points_xla
     from coda_neurips2023_tpu.ops.pallas_group_gather import group_points_pallas

@@ -19,3 +19,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: the slow tier is compile-dominated (full
+# model jits), and its HLO is identical across suite runs -- cache hits cut
+# the repeat-run wall clock to the execute cost (VERDICT r4 #8).  Keys are
+# HLO fingerprints, so source changes invalidate exactly the affected jits.
+# Override the location with CODA_JAX_TEST_CACHE=<dir> (empty string disables).
+_cache_dir = os.environ.get("CODA_JAX_TEST_CACHE", "/tmp/coda_jax_pytest_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

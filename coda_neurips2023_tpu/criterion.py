@@ -19,10 +19,13 @@ Re-design of /root/reference/criterion.py for TPU:
     non-empty scene equally while the reference up-weights scenes on replicas
     with fewer of them (bounded by max_i(cnt/R)/cnt_i over replicas; with
     bs 8/replica and SUN RGB-D's ~0.4% empty-scene rate the discrepancy is
-    <1% of the loss on rare steps and zero on most).  The deviation is
-    closable: --if_per_replica_loss_norm reproduces the reference DDP formula
-    bitwise (SetCriterion.per_replica_norm; tested against the replica-loop
-    oracle in tests/test_losses_tail.py).
+    <1% of the loss on rare steps and zero on most).  Since round 5 the
+    reference DDP formula IS the CLI default (SetCriterion.per_replica_norm,
+    bitwise vs the replica-loop oracle, tests/test_losses_tail.py): a dp=8
+    A/B at a 10% empty-scene stress rate (scripts/ab_loss_norm.py) measured
+    up to 34.2% single-step divergence on this loss (1.65% on the total
+    loss) under the global formula -- material enough that reference-exact
+    wins; --if_global_batch_loss_norm opts back into the global formula.
 
 Loss registry mirrors SetCriterion (criterion.py:135-168): every loss is
 gated by `<name>_weight > 1e-32`; cardinality is log-only.  The losses active
@@ -851,5 +854,10 @@ def build_criterion(args, dataset_config, num_replicas: int = 1):
         loss_weight_dict,
         train_range_max=args.train_range_max,
         confidence_type=args.confidence_type,
-        per_replica_norm=(num_replicas if getattr(args, "if_per_replica_loss_norm", False) else 0),
+        per_replica_norm=(
+            num_replicas
+            if (getattr(args, "if_per_replica_loss_norm", True)
+                and not getattr(args, "if_global_batch_loss_norm", False))
+            else 0
+        ),
     )

@@ -167,6 +167,15 @@ class Loader:
     def _iter_processes(self, tasks):
         try:
             ctx = mp.get_context("forkserver")
+            # NEVER preload __main__ (the stdlib default): if the launching
+            # script initialized jax at module top level, the preload would
+            # replay that init INSIDE the forkserver, and every worker would
+            # then be forked from a thread/lock-poisoned image -- the exact
+            # fork-after-threads deadlock forkserver exists to avoid
+            # (observed: racy wedge with 0..N workers spawned, parent parked
+            # in Pool startup).  No worker payload needs __main__: tasks are
+            # plain tuples and the callables live in this importable module.
+            ctx.set_forkserver_preload([])  # no-op if the server is already up
         except ValueError:  # platform without forkserver
             yield from self._iter_threads(tasks)
             return

@@ -150,9 +150,15 @@ def _ap_pool():
                 import multiprocessing as mp
                 from concurrent.futures import ProcessPoolExecutor
 
+                ctx = mp.get_context("forkserver")
+                # drop the stdlib's __main__ preload: a launcher script that
+                # inits jax at module scope would otherwise poison the
+                # forkserver image with XLA threads/locks and children fork
+                # into a deadlock (see datasets/loader.py _iter_processes)
+                ctx.set_forkserver_preload([])
                 _AP_POOL = ProcessPoolExecutor(
                     max_workers=n,
-                    mp_context=mp.get_context("forkserver"),
+                    mp_context=ctx,
                     # workers are host-numpy only; never let one init a
                     # device backend (see datasets/loader.py _proc_init)
                     initializer=_ap_worker_init,

@@ -81,6 +81,10 @@ def run_once(tag: str, per_replica: bool, empty_rate: float, outdir: str):
     ]
     if per_replica:
         flags.append("--if_per_replica_loss_norm")
+    else:
+        # per-replica is the shipped default since round 5; the global arm
+        # must opt out explicitly
+        flags.append("--if_global_batch_loss_norm")
     args = make_args_parser().parse_args(flags)
     ctx = build_everything(args)
     do_train(args, ctx)

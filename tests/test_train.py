@@ -137,8 +137,10 @@ def test_lr_schedule_matches_reference_formula():
     sched = make_lr_schedule(args, num_iters_per_epoch=100)
 
     def ref_lr(curr_epoch):
-        # engine.py:33-49
-        if args.warm_lr_epochs > 0 and curr_epoch < args.warm_lr_epochs:
+        # engine.py:33-49; the warmup boundary is INCLUSIVE (engine.py:36
+        # compares curr_epoch_normalized <= warm_lr_epochs/max_epoch), which
+        # step 1800 == epoch 18.0 == warm_lr_epochs hits exactly
+        if args.warm_lr_epochs > 0 and curr_epoch <= args.warm_lr_epochs:
             return args.warm_lr + curr_epoch / args.warm_lr_epochs * (
                 args.base_lr - args.warm_lr
             )

@@ -108,7 +108,12 @@ def main(probe_ms=None):
 
 
 if __name__ == "__main__":
-    from coda_neurips2023_tpu.utils.probe import exit_unless_backend_alive
+    from coda_neurips2023_tpu.utils.probe import (
+        enable_persistent_compile_cache,
+        exit_unless_backend_alive,
+    )
+
+    enable_persistent_compile_cache()
 
     _probe_ms = exit_unless_backend_alive(
         "sunrgbd_eval_scenes_per_sec_per_chip", "scenes/s"

@@ -213,7 +213,12 @@ def main():
 
 
 if __name__ == "__main__":
-    from coda_neurips2023_tpu.utils.probe import exit_unless_backend_alive
+    from coda_neurips2023_tpu.utils.probe import (
+        enable_persistent_compile_cache,
+        exit_unless_backend_alive,
+    )
+
+    enable_persistent_compile_cache()
 
     _probe_ms = exit_unless_backend_alive("sunrgbd_stage1_step_ms", "ms")
     print(f"probe_ms: {_probe_ms:.2f} (tiny-jit round trip; healthy ~1-10 ms)")

@@ -10,7 +10,33 @@ honest JSON error line + exit 1 instead of hanging the bench driver.
 from __future__ import annotations
 
 import json
+import os
 import threading
+
+
+def enable_persistent_compile_cache(cache_dir: "str | None" = None) -> "str | None":
+    """Point jax at an on-disk compiled-executable cache (works on the axon
+    TPU backend: measured 2.05 s -> 0.32 s for a fresh-process re-jit).
+
+    The relay's compile service latency degrades independently of execute
+    latency (observed: ~17 min for a train-step bwd graph while the tiny-jit
+    probe read 27 ms), so benches warm this cache once and every later
+    fresh-process run -- including the driver's end-of-round capture --
+    skips straight to execution.  Keys are HLO/backend fingerprints, so code
+    changes invalidate exactly the affected executables.
+
+    Default dir /tmp/coda_compile_cache; override with CODA_COMPILE_CACHE
+    (empty string disables).  Returns the dir in effect, or None.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("CODA_COMPILE_CACHE", "/tmp/coda_compile_cache")
+    if not cache_dir:
+        return None
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
 
 
 def backend_alive(timeout_s: float = 540.0) -> bool:
